@@ -1,0 +1,66 @@
+"""Arrow-batched pandas UDFs wrapping the segmentation core.
+
+All UDFs are vectorized at the Arrow-batch level (no per-row Python UDFs):
+one Python invocation handles spark.sql.execution.arrow.maxRecordsPerBatch
+rows, looping in-interpreter over short strings with compiled regexes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+from texoo_spark import textops
+from texoo_spark.schema import EXTRACT_SCHEMA
+
+
+def _extract_batch(texts: pd.Series, newlines: str) -> pd.DataFrame:
+    rows = {k: [] for k in ("extracted_text", "n_sentences", "n_tokens",
+                            "tok_text", "tok_begin", "tok_end",
+                            "sent_begin", "sent_end",
+                            "sent_tok_start", "sent_tok_end")}
+    extract = textops.extract_document
+    for text in texts:
+        if text is None:
+            text = ""
+        doc = extract(text, newlines)
+        toks, sents = doc.tokens, doc.sentences
+        rows["extracted_text"].append(doc.text)
+        rows["n_sentences"].append(len(sents))
+        rows["n_tokens"].append(len(toks))
+        rows["tok_text"].append([t.text for t in toks])
+        rows["tok_begin"].append([t.begin for t in toks])
+        rows["tok_end"].append([t.end for t in toks])
+        rows["sent_begin"].append([s.begin for s in sents])
+        rows["sent_end"].append([s.end for s in sents])
+        rows["sent_tok_start"].append([s.tok_start for s in sents])
+        rows["sent_tok_end"].append([s.tok_end for s in sents])
+    return pd.DataFrame(rows)
+
+
+@pandas_udf(EXTRACT_SCHEMA)
+def extract_keep_udf(texts: pd.Series) -> pd.DataFrame:
+    """Segment raw turn text, keeping newline tokens (Newlines.KEEP)."""
+    return _extract_batch(texts, textops.KEEP)
+
+
+@pandas_udf(EXTRACT_SCHEMA)
+def extract_discard_udf(texts: pd.Series) -> pd.DataFrame:
+    """Segment raw turn text, discarding newline tokens (Newlines.DISCARD)."""
+    return _extract_batch(texts, textops.DISCARD)
+
+
+def extract_udf(newlines: str = textops.DISCARD):
+    return extract_keep_udf if newlines == textops.KEEP else extract_discard_udf
+
+
+@pandas_udf("string")
+def detect_language_udf(texts: pd.Series) -> pd.Series:
+    from texoo_spark.langid import detect_language
+    return texts.fillna("").map(detect_language)
+
+
+@pandas_udf("string")
+def words_to_text_udf(words: pd.Series) -> pd.Series:
+    """Rule-based spacing join over an array<string> column (T4/wordsToText)."""
+    return words.map(lambda ws: textops.words_to_text(list(ws or [])))

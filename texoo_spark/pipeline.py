@@ -1,0 +1,144 @@
+"""End-to-end extraction pipeline over transcript tables.
+
+Scale design (BASELINE north_rule):
+- partition by hash(conv_id) into a fixed bucket count (part_id); skewed
+  long conversations are salted by turn block so one conversation cannot
+  pin a partition (extraction is per-turn, so salting is always safe);
+- stable turn ordering via sortWithinPartitions(conv_id, turn_idx);
+- per-partition manifests make the job resumable: completed part_ids are
+  anti-joined away on restart; each manifest row carries lineage (input
+  path, code version) and metrics (turn/token/sentence counts);
+- all text work happens in Arrow-batched pandas UDFs; everything else is
+  built-in Catalyst operators (filters push down to the parquet scan).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from texoo_spark import textops
+from texoo_spark.extract import extract_udf
+from texoo_spark.schema import MANIFEST_SCHEMA
+
+CODE_VERSION = "texoo-spark-0.1"
+
+
+def with_part_id(df: DataFrame, n_buckets: int,
+                 salt_buckets: int = 0) -> DataFrame:
+    """Assign a deterministic partition bucket from hash(conv_id).
+
+    With salt_buckets > 0, long conversations are spread over salt_buckets
+    adjacent buckets using turn_idx blocks (64 turns per block), which keeps
+    per-conversation turn order intact within a block while bounding skew.
+    """
+    base = F.pmod(F.hash(F.col("conv_id")), F.lit(n_buckets))
+    if salt_buckets > 1:
+        salt = F.pmod(F.floor(F.col("turn_idx") / 64), F.lit(salt_buckets))
+        part = F.pmod(base + salt, F.lit(n_buckets))
+    else:
+        part = base
+    return df.withColumn("part_id", part.cast("int"))
+
+
+def extract_turns(df: DataFrame, newlines: str = textops.DISCARD,
+                  strip_html_first: bool = True) -> DataFrame:
+    """text -> (extracted_text, token/sentence offset arrays) per turn.
+
+    When strip_html_first is set, HTML-looking turns are boilerplate-stripped
+    before segmentation (the extraction offsets are relative to the cleaned
+    text, which IS the extracted text contract)."""
+    if strip_html_first:
+        from texoo_spark.udfs import strip_html_text_udf
+        df = df.withColumn(
+            "clean_text",
+            F.when(F.col("text").rlike("(?i)<(html|body|div|p|a|ul|li|table|h[1-6])[ >]"),
+                   strip_html_text_udf(F.col("text")))
+            .otherwise(F.col("text")))
+    else:
+        df = df.withColumn("clean_text", F.col("text"))
+    return (df
+            .withColumn("doc", extract_udf(newlines)(F.col("clean_text")))
+            .select("*", "doc.*")
+            .drop("doc"))
+
+
+def run_extraction(spark: SparkSession, input_path: str, output_dir: str,
+                   n_buckets: int = 64, salt_buckets: int = 4,
+                   newlines: str = textops.DISCARD,
+                   resume: bool = True) -> dict:
+    """Batch extraction with checkpointed partition manifests.
+
+    Returns a summary dict {processed_parts, skipped_parts, n_turns}.
+    """
+    manifest_path = os.path.join(output_dir, "_manifest")
+    data_path = os.path.join(output_dir, "turns")
+
+    df = spark.read.parquet(input_path)
+    df = with_part_id(df, n_buckets, salt_buckets)
+
+    done: set[int] = set()
+    if resume:
+        try:
+            done = {r.part_id for r in
+                    spark.read.parquet(manifest_path)
+                    .filter(F.col("status") == "done")
+                    .select("part_id").distinct().collect()}
+        except Exception:
+            done = set()
+    if done:
+        df = df.filter(~F.col("part_id").isin(list(done)))
+
+    pending = df.select("part_id").distinct()
+    pending_ids = sorted(r.part_id for r in pending.collect())
+    if not pending_ids:
+        return {"processed_parts": 0, "skipped_parts": len(done), "n_turns": 0}
+
+    extracted = (extract_turns(
+                    df.repartition(max(len(pending_ids), 1), "part_id"),
+                    newlines=newlines)
+                 .sortWithinPartitions("conv_id", "turn_idx"))
+
+    (extracted.write.mode("append")
+     .partitionBy("part_id")
+     .parquet(data_path))
+
+    # metrics from the written files (metadata-cheap column-pruned scan)
+    stats = (spark.read.parquet(data_path)
+             .filter(F.col("part_id").isin(pending_ids))
+             .groupBy("part_id")
+             .agg(F.count("*").alias("n_turns"),
+                  F.sum("n_tokens").alias("n_tokens"),
+                  F.sum("n_sentences").alias("n_sentences")))
+    now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    manifest = (stats
+                .withColumn("status", F.lit("done"))
+                .withColumn("input_path", F.lit(input_path))
+                .withColumn("code_version", F.lit(CODE_VERSION))
+                .withColumn("written_at", F.lit(now))
+                .select([f.name for f in MANIFEST_SCHEMA.fields]))
+    manifest.write.mode("append").parquet(manifest_path)
+
+    n_turns = sum(r.n_turns for r in stats.select("part_id", "n_turns").collect())
+    return {"processed_parts": len(pending_ids),
+            "skipped_parts": len(done),
+            "n_turns": int(n_turns)}
+
+
+def spans_long(extracted: DataFrame) -> DataFrame:
+    """Explode per-turn sentence arrays into a long-format spans table
+    (SENTENCE annotations; SURVEY.md §1.5 output contract)."""
+    return (extracted
+            .select("conv_id", "turn_idx",
+                    F.posexplode(F.arrays_zip("sent_begin", "sent_end"))
+                    .alias("span_seq", "s"))
+            .select("conv_id", "turn_idx", "span_seq",
+                    F.lit("SENTENCE").alias("ann_type"),
+                    F.lit("PRED").alias("source"),
+                    F.col("s.sent_begin").alias("begin"),
+                    F.col("s.sent_end").alias("end"),
+                    F.lit(None).cast("string").alias("label"),
+                    F.lit(None).cast("string").alias("ref_id"),
+                    F.lit(1.0).alias("confidence")))
