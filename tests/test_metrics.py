@@ -1,0 +1,126 @@
+"""Metric fixtures ported from the reference JUnit suites.
+
+Sources:
+- texoo-sector/src/test/java/de/datexis/sector/eval/WindowDiffEvaluationTest.java
+- texoo-entity-recognition/.../eval/MentionAnnotatorEvaluation.java semantics
+- texoo-retrieval/.../eval/RetrievalEvaluation.java formulas (hand-computed)
+"""
+
+import math
+
+from texoo_spark.metrics import (
+    calculate_k, evaluate_queries, evaluate_query, masses_array, ner_counts,
+    pk, positions_array, prf1, window_diff,
+)
+
+
+def seg(n, starts):
+    """positions array for segments starting at given sentence indices."""
+    return positions_array(n, [(s, f"seg{i}") for i, s in enumerate(starts)])
+
+
+# --- WindowDiffEvaluationTest.returnZeroWhenSegmentationAnnotationsAreIdentical
+def test_wd_identical():
+    ref = seg(2, [0])
+    hyp = seg(2, [0])
+    k = calculate_k(ref)
+    assert window_diff(ref, hyp, k) == 0.0
+    assert pk(ref, hyp, k) == 0.0
+
+
+# --- noGoldSegmentsOn13Sentences (java:97-106): WD ~ 1.0
+def test_wd_degenerate_one_gold_segment():
+    ref = seg(13, [0])
+    hyp = seg(13, [0, 4, 8])
+    k = calculate_k(ref)
+    assert k == 7  # round(13 / 2) = 7
+    assert abs(window_diff(ref, hyp, k) - 1.0) <= 0.03
+
+
+# --- threeGoldSegmentsOn13Sentences (java:109-123): WD ~ 0.363636
+def test_wd_three_gold_segments():
+    ref = seg(13, [0, 4, 8])
+    hyp = seg(13, [0])
+    k = calculate_k(ref)
+    assert k == 2  # round(13/3/2) = 2
+    assert abs(window_diff(ref, hyp, k) - 0.363636) <= 0.03
+
+
+def test_positions_and_masses():
+    pos = positions_array(19, [(0, "a"), (3, "b"), (9, "c"), (13, "d"),
+                               (15, "e")])
+    assert pos == [1, 1, 1, 2, 2, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 5, 5, 5, 5]
+    # (the reference javadoc example says [3,6,3,2,4] but that sums to 18
+    # for 19 positions; the correct run-lengths are [3,6,4,2,4])
+    assert masses_array(pos) == [3, 6, 4, 2, 4]
+
+
+def test_positions_merge_same_label():
+    # adjacent sections with same label merge (java:240-247)
+    pos = positions_array(6, [(0, "x"), (2, "x"), (4, "y")])
+    assert pos == [1, 1, 1, 1, 2, 2]
+
+
+def test_pk_len_special_cases():
+    assert pk([1], [1], 2) == 0.0
+    assert pk([1, 1], [1, 2], 2) == 1.0
+    assert pk([1, 2], [3, 4], 2) == 0.0  # both disagree -> agree on structure
+
+
+# --- NER P/R/F1 ---
+
+def test_ner_counts_strong():
+    gold = [(0, 5), (10, 20), (30, 35)]
+    pred = [(0, 5), (10, 19), (40, 45)]
+    tp, fp, fn = ner_counts(pred, gold, "STRONG")
+    assert (tp, fp, fn) == (1, 2, 2)
+    p, r, f = prf1(tp, fp, fn)
+    assert abs(p - 1 / 3) < 1e-9
+    assert abs(r - 1 / 3) < 1e-9
+    assert abs(f - 1 / 3) < 1e-9
+
+
+def test_ner_counts_weak():
+    gold = [(0, 5), (10, 20), (30, 35)]
+    pred = [(0, 5), (10, 19), (40, 45)]
+    tp, fp, fn = ner_counts(pred, gold, "WEAK")
+    assert (tp, fp, fn) == (2, 1, 1)
+
+
+# --- Retrieval metrics (hand-computed per RetrievalEvaluation.java) ---
+
+def test_retrieval_perfect_single():
+    q = evaluate_query([("d1", 0.9)], [("d1", 1)])
+    assert q["mrr"] == 1.0
+    assert q["ap"] == 1.0
+    assert q["recall_n"] == 1.0
+    assert q["precision_k"][1] == 1.0
+    assert q["ndcg_k"][1] == 1.0
+
+
+def test_retrieval_rank2():
+    # relevant item at rank 2 of 2; one relevant expected
+    q = evaluate_query([("d2", 0.9), ("d1", 0.8)], [("d1", 1)])
+    assert q["mrr"] == 0.5
+    assert q["ap"] == 0.5
+    assert q["precision_k"][1] == 0.0
+    assert q["precision_k"][2] == 0.5
+    # DCG@2 = (2^1-1)/log2(3); IDCG@2 = (2^1-1)/log2(2) = 1
+    assert abs(q["ndcg_k"][2] - (1 / math.log2(3))) < 1e-9
+
+
+def test_retrieval_backfill():
+    # fewer retrieved than 10: P@k backfilled with relevant_pred/k
+    q = evaluate_query([("d1", 0.9)], [("d1", 1), ("d2", 1)])
+    assert q["recall_n"] == 0.5
+    assert q["precision_k"][2] == 0.5
+    assert q["recall_k"][10] == 0.5
+
+
+def test_retrieval_macro_average():
+    q1 = evaluate_query([("a", 1.0)], [("a", 1)])
+    q2 = evaluate_query([("b", 1.0), ("a", 0.5)], [("a", 1)])
+    agg = evaluate_queries([q1, q2])
+    assert abs(agg["mrr"] - 0.75) < 1e-9
+    assert abs(agg["map"] - 0.75) < 1e-9
+    assert abs(agg["p_at_1"] - 0.5) < 1e-9
