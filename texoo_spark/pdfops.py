@@ -99,7 +99,9 @@ def _paragraphs(lines: list[list[WordBox]]) -> list[str]:
     tops = [min(w.y0 for w in ln) for ln in lines]
     bots = [max(w.y1 for w in ln) for ln in lines]
     gaps = [tops[i + 1] - bots[i] for i in range(len(lines) - 1)]
-    med_gap = sorted(gaps)[len(gaps) // 2] if gaps else 0.0
+    # lower median: the typical intra-paragraph gap (robust when a
+    # paragraph break inflates half the gaps)
+    med_gap = sorted(gaps)[(len(gaps) - 1) // 2] if gaps else 0.0
     paras: list[list[str]] = [[texts[0]]]
     for i, g in enumerate(gaps):
         if med_gap > 0 and g > 1.8 * med_gap:
