@@ -1,0 +1,259 @@
+"""Deterministic feature encoders (SURVEY.md §2.4, E1-E10).
+
+numpy reimplementations of texoo-core/.../encoder/impl/*.java, used as
+vectorizers inside pandas UDFs; the Spark-ML equivalents (CountVectorizer,
+NGram, HashingTF) are interchangeable at the pipeline level.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# SurfaceEncoder (E4): 11 boolean surface-form features
+# ref: texoo-core/.../encoder/impl/SurfaceEncoder.java:60-82,113-175
+# ---------------------------------------------------------------------------
+
+_LETTERS = re.compile(r"[^\W\d_]+", re.UNICODE)  # \p{L}
+_NUM_PUNCT = re.compile(r"[^\d\W]|[\s]", re.UNICODE)  # chars NOT in \p{N}\p{P}
+
+SURFACE_SIZE = 11
+
+
+def _letters_only(token: str) -> str:
+    return "".join(_LETTERS.findall(token))
+
+
+def _is_num_or_punct(ch: str) -> bool:
+    import unicodedata
+    cat = unicodedata.category(ch)
+    return cat.startswith("N") or cat.startswith("P")
+
+
+def surface_features(token: str) -> np.ndarray:
+    """[startsUpper, startsLower, allUpper, allLower, mixedCase, allNumeric,
+    includesNumeric, startsNumeric, endsNumeric, startsPunct, endsPunct]."""
+    token = token.strip()
+    letters = _letters_only(token)
+    starts_upper = bool(letters) and letters[:1].upper() == letters[:1]
+    starts_lower = bool(letters) and letters[:1].lower() == letters[:1]
+    all_upper = bool(letters) and letters.upper() == letters
+    all_lower = letters.lower() == letters  # true for empty, like reference
+    mixed = (not starts_upper) and (not all_upper) and (not all_lower)
+    all_numeric = bool(token) and all(_is_num_or_punct(c) for c in token)
+    includes_numeric = any(_is_num_or_punct(c) for c in token)
+    starts_numeric = bool(token) and _is_num_or_punct(token[0])
+    ends_numeric = bool(token) and _is_num_or_punct(token[-1])
+    import unicodedata
+    starts_punct = bool(token) and unicodedata.category(token[0]).startswith("P")
+    ends_punct = bool(token) and unicodedata.category(token[-1]).startswith("P")
+    return np.array([starts_upper, starts_lower, all_upper, all_lower, mixed,
+                     all_numeric, includes_numeric, starts_numeric,
+                     ends_numeric, starts_punct, ends_punct], dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# StructureEncoder (E7): 7 structural flags
+# ref: texoo-core/.../encoder/impl/StructureEncoder.java:85-155
+# vector order: [beginDoc, beginPar, isList, beginSent, endSent, endPar, endDoc]
+# ---------------------------------------------------------------------------
+
+STRUCTURE_SIZE = 7
+
+
+def _is_nl(text: str) -> bool:
+    return text == "*NL*" or text == "\n"
+
+
+def structure_features_tokens(sent_tokens: list[list[str]]) -> list[np.ndarray]:
+    """Per-token structure flags over a document's sentences of token texts."""
+    result: list[np.ndarray] = []
+    begin_doc, last_was_nl = True, True
+    n_sents = len(sent_tokens)
+    for si, toks in enumerate(sent_tokens):
+        end_doc = si == n_sents - 1
+        begin_sent = True
+        n = len(toks)
+        for i, t in enumerate(toks):
+            nxt = toks[i + 1] if i + 1 < n else None
+            end_sent = nxt is None
+            is_list = begin_sent and t == "-"
+            is_nl = _is_nl(t)
+            is_next_nl = nxt is not None and _is_nl(nxt)
+            result.append(np.array([
+                begin_doc and begin_sent,
+                last_was_nl and begin_sent,
+                is_list,
+                begin_sent,
+                (end_sent and not is_nl) or is_next_nl,
+                is_nl or (end_doc and end_sent),
+                end_doc and end_sent,
+            ], dtype=np.float32))
+            begin_sent = False
+            last_was_nl = is_nl
+        begin_doc = False
+    return result
+
+
+def structure_features_sentences(sent_tokens: list[list[str]],
+                                 sent_texts: list[str]) -> list[np.ndarray]:
+    """Per-sentence structure flags (StructureEncoder.encodeSentences)."""
+    result: list[np.ndarray] = []
+    begin_doc, begin_par = True, True
+    n = len(sent_tokens)
+    for si, toks in enumerate(sent_tokens):
+        end_doc = si == n - 1
+        end_par = any(_is_nl(t) for t in toks)
+        is_list = sent_texts[si].startswith("- ")
+        result.append(np.array([
+            begin_doc, begin_par or begin_doc, is_list, False, False,
+            end_par or end_doc, end_doc,
+        ], dtype=np.float32))
+        begin_doc = False
+        begin_par = end_par
+    return result
+
+
+# ---------------------------------------------------------------------------
+# BagOfWordsEncoder (E1)
+# ref: texoo-core/.../encoder/impl/BagOfWordsEncoder.java:64-215
+# ---------------------------------------------------------------------------
+
+class BagOfWordsEncoder:
+    def __init__(self, min_word_length: int = 2, min_word_frequency: int = 1,
+                 lowercase: bool = True,
+                 stopwords: set[str] | None = None):
+        self.min_word_length = min_word_length
+        self.min_word_frequency = min_word_frequency
+        self.lowercase = lowercase
+        self.stopwords = stopwords or set()
+        self.vocab: dict[str, int] = {}
+
+    def _key(self, word: str) -> str:
+        return word.lower() if self.lowercase else word
+
+    def train(self, token_lists: list[list[str]]) -> "BagOfWordsEncoder":
+        freq: dict[str, int] = {}
+        for toks in token_lists:
+            for t in toks:
+                k = self._key(t)
+                if len(k) >= self.min_word_length and k not in self.stopwords:
+                    freq[k] = freq.get(k, 0) + 1
+        words = sorted(w for w, c in freq.items()
+                       if c >= self.min_word_frequency)
+        self.vocab = {w: i for i, w in enumerate(words)}
+        return self
+
+    @property
+    def size(self) -> int:
+        return len(self.vocab)
+
+    def encode(self, tokens: list[str]) -> np.ndarray:
+        """n-hot over vocabulary."""
+        v = np.zeros(self.size, dtype=np.float32)
+        for t in tokens:
+            i = self.vocab.get(self._key(t))
+            if i is not None:
+                v[i] = 1.0
+        return v
+
+
+# ---------------------------------------------------------------------------
+# LetterNGramEncoder / TrigramEncoder (E2)
+# ref: texoo-core/.../encoder/impl/LetterNGramEncoder.java:54-120
+# ---------------------------------------------------------------------------
+
+class LetterNGramEncoder:
+    def __init__(self, n: int = 3, lowercase: bool = True):
+        self.n = n
+        self.lowercase = lowercase
+        self.vocab: dict[str, int] = {}
+
+    def ngrams(self, word: str) -> list[str]:
+        w = "#" + (word.lower() if self.lowercase else word) + "#"
+        if len(w) < self.n:
+            return [w]
+        return [w[i:i + self.n] for i in range(len(w) - self.n + 1)]
+
+    def train(self, words: list[str]) -> "LetterNGramEncoder":
+        grams = sorted({g for w in words for g in self.ngrams(w)})
+        self.vocab = {g: i for i, g in enumerate(grams)}
+        return self
+
+    @property
+    def size(self) -> int:
+        return len(self.vocab)
+
+    def encode(self, word: str) -> np.ndarray:
+        v = np.zeros(self.size, dtype=np.float32)
+        for g in self.ngrams(word):
+            i = self.vocab.get(g)
+            if i is not None:
+                v[i] = 1.0
+        return v
+
+
+# ---------------------------------------------------------------------------
+# BloomEncoder (E3): 4096 bits, 5 hashes
+# ref: texoo-core/.../encoder/impl/BloomEncoder.java:10-35
+# ---------------------------------------------------------------------------
+
+class BloomEncoder:
+    def __init__(self, bits: int = 4096, hashes: int = 5):
+        self.bits = bits
+        self.hashes = hashes
+
+    def _positions(self, word: str) -> list[int]:
+        out = []
+        for i in range(self.hashes):
+            h = hashlib.md5(f"{i}:{word}".encode("utf-8")).digest()
+            out.append(int.from_bytes(h[:8], "little") % self.bits)
+        return out
+
+    def encode(self, tokens: list[str]) -> np.ndarray:
+        v = np.zeros(self.bits, dtype=np.float32)
+        for t in tokens:
+            for p in self._positions(t.lower()):
+                v[p] = 1.0
+        return v
+
+
+# ---------------------------------------------------------------------------
+# PositionEncoder (E6) / OneHotEncoder (E9)
+# ---------------------------------------------------------------------------
+
+def position_features(tok_idx: int, n_tokens_sent: int,
+                      sent_idx: int, n_sents: int) -> np.ndarray:
+    """Token position flags in sentence/document
+    (ref: encoder/impl/PositionEncoder.java)."""
+    return np.array([
+        tok_idx == 0,
+        tok_idx == n_tokens_sent - 1,
+        sent_idx == 0,
+        sent_idx == n_sents - 1,
+        (tok_idx + 1) / max(n_tokens_sent, 1),
+        (sent_idx + 1) / max(n_sents, 1),
+    ], dtype=np.float32)
+
+
+class OneHotEncoder:
+    def __init__(self, labels: list[str]):
+        seen: dict[str, int] = {}
+        for lb in labels:
+            if lb not in seen:
+                seen[lb] = len(seen)
+        self.index = seen
+
+    @property
+    def size(self) -> int:
+        return len(self.index)
+
+    def encode(self, label: str) -> np.ndarray:
+        v = np.zeros(self.size, dtype=np.float32)
+        i = self.index.get(label)
+        if i is not None:
+            v[i] = 1.0
+        return v

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (SURVEY.md R6 + BASELINE scope).
+
+- brute_force_topk: exact cosine top-k of every row against a broadcast
+  query matrix; JVM-side higher-order-function variant for single queries
+  (SQL-expressible, used as the DuckDB oracle anchor) and a numpy/pandas-UDF
+  variant for query batches (matmul per Arrow batch — the scale path for
+  moderate query counts).
+- ivf_topk: IVF-style approximate search: deterministic centroid seeding,
+  one assignment pass, search only the probe nearest cells. At 100 TB the
+  assignment is a narrow map and the search prunes (1 - probes/cells) of
+  the data.
+
+kNN reference semantics: normalized embedding matrix + dot product
+(texoo-retrieval/.../index/InMemoryIndex.java:106-118).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def cosine_expr(vec_col: str, query: list[float]):
+    """JVM-side cosine similarity of array<float> column against a literal
+    query vector via zip_with + aggregate (no Python in the hot path)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    dot = F.aggregate(F.zip_with(F.col(vec_col), q, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm_v = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda a: a * a),
+                                F.lit(0.0), lambda acc, x: acc + x))
+    norm_q = float(np.sqrt(np.dot(query, query)))
+    return dot / (norm_v * F.lit(norm_q))
+
+
+def brute_force_topk(df: DataFrame, query: list[float], k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine similarity against one query vector.
+
+    Plan: narrow projection (whole-stage codegen) + TakeOrderedAndProject —
+    no shuffle of the full table, only k rows per partition reach the
+    driver-side merge."""
+    return (df
+            .select(F.col(id_col),
+                    cosine_expr(vec_col, query).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.col(id_col))
+            .limit(k))
+
+
+def brute_force_topk_batch(df: DataFrame, queries: np.ndarray, k: int = 10,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Top-k per query for a query matrix [Q x D]: numpy matmul per Arrow
+    batch, then a (query_id, score) window to keep k per query."""
+    qn = queries / np.maximum(
+        np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(qn.astype(np.float32))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<query_id:int,cosine:double>>")
+    def scores_udf(vecs: pd.Series) -> pd.Series:
+        qm = bc.value  # [Q x D]
+        out = []
+        mat = np.array([np.asarray(v, dtype=np.float32) for v in vecs])
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = (mat / norms) @ qm.T  # [B x Q]
+        for row in sims:
+            out.append([{"query_id": int(qi), "cosine": float(s)}
+                        for qi, s in enumerate(row)])
+        return pd.Series(out, dtype="object")
+
+    exploded = (df.select(id_col, scores_udf(F.col(vec_col)).alias("s"))
+                .select(id_col, F.explode("s").alias("s"))
+                .select(id_col, F.col("s.query_id").alias("query_id"),
+                        F.col("s.cosine").alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.col(id_col))
+    return (exploded.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def ivf_assign(df: DataFrame, n_cells: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               seed_stride: int | None = None) -> tuple[DataFrame, np.ndarray]:
+    """Assign rows to IVF cells. Centroids are seeded deterministically from
+    the dataset (every stride-th row by id), so the index is reproducible.
+    Returns (df + cell column, centroid matrix)."""
+    total = df.count()
+    stride = seed_stride or max(total // n_cells, 1)
+    seeds = (df.filter((F.col(id_col) % stride == 0))
+             .orderBy(id_col).limit(n_cells)
+             .select(vec_col).collect())
+    cents = np.array([np.asarray(r[0], dtype=np.float32) for r in seeds])
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    bc = df.sparkSession.sparkContext.broadcast(cents)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        cm = bc.value
+        mat = np.array([np.asarray(v, dtype=np.float32) for v in vecs])
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax((mat / norms) @ cm.T, axis=1).astype(int))
+
+    return df.withColumn("cell", cell_udf(F.col(vec_col))), cents
+
+
+def ivf_topk(df_with_cells: DataFrame, centroids: np.ndarray,
+             query: list[float], k: int = 10, probes: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: search only the `probes` cells whose centroids are
+    nearest to the query. The cell filter prunes partitions before the
+    cosine projection runs."""
+    q = np.asarray(query, dtype=np.float32)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(centroids @ qn), kind="stable")[:probes]
+    cells = [int(c) for c in order]
+    return (df_with_cells
+            .filter(F.col("cell").isin(cells))
+            .select(F.col(id_col), cosine_expr(vec_col, query).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.col(id_col))
+            .limit(k))
