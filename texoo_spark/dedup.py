@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
 from texoo_spark.textquality import fnv1a64
@@ -95,7 +96,7 @@ def minhash_signature(text: str, num_hashes: int = 64,
 def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 5):
     params = _hash_params(num_hashes)
 
-    @pandas_udf("array<long>")
+    @pandas_udf(ArrayType(LongType()))
     def minhash_udf(texts: pd.Series) -> pd.Series:
         return pd.Series([
             minhash_signature(t or "", num_hashes, shingle_k, params).tolist()
@@ -166,7 +167,7 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & _MASK64).count("1")
 
 
-@pandas_udf("long")
+@pandas_udf(LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
     # stored as signed 64-bit (two's complement) for Spark LongType
     def signed(v: int) -> int:

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 from texoo_spark import textops
 from texoo_spark.schema import EXTRACT_SCHEMA
@@ -54,13 +55,13 @@ def extract_udf(newlines: str = textops.DISCARD):
     return extract_keep_udf if newlines == textops.KEEP else extract_discard_udf
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def detect_language_udf(texts: pd.Series) -> pd.Series:
     from texoo_spark.langid import detect_language
     return texts.fillna("").map(detect_language)
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def words_to_text_udf(words: pd.Series) -> pd.Series:
     """Rule-based spacing join over an array<string> column (T4/wordsToText)."""
     return words.map(lambda ws: textops.words_to_text(list(ws or [])))

@@ -4,8 +4,21 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType, StringType
 
 from texoo_spark.schema import HTML_SCHEMA, MATCH_SCHEMA
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+@pandas_udf(LongType())
+def fingerprint_udf(texts: pd.Series) -> pd.Series:
+    """Rolling-hash document fingerprint (winnowing-style), as signed int64."""
+    from texoo_spark.textquality import document_fingerprint
+    return pd.Series([_signed64(document_fingerprint(t or ""))
+                      for t in texts])
 
 
 @pandas_udf(HTML_SCHEMA)
@@ -14,14 +27,14 @@ def strip_html_udf(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame([strip_html(t or "") for t in texts])
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def strip_html_text_udf(texts: pd.Series) -> pd.Series:
     from texoo_spark.html import strip_html
     return pd.Series([strip_html(t or "")["main_text"] for t in texts],
                      dtype="object")
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def pdf_layout_text_udf(boxes: pd.Series) -> pd.Series:
     """Reading-order text from an array<struct<page,x0,y0,x1,y1,text>> column."""
     from texoo_spark.pdfops import WordBox, layout_text
@@ -52,8 +65,10 @@ def make_gazetteer_udf(terms: list[str], case_strategy: str = "LOWERCASE"):
                       tok_ends: pd.Series) -> pd.DataFrame:
         rows = {"m_begin": [], "m_end": [], "m_label": []}
         for text, tbs, tes in zip(texts, tok_begins, tok_ends):
-            matches = matcher.match(text or "", list(tbs or []),
-                                    list(tes or []))
+            matches = matcher.match(
+                text or "",
+                list(tbs) if tbs is not None else [],
+                list(tes) if tes is not None else [])
             rows["m_begin"].append([m[0] for m in matches])
             rows["m_end"].append([m[1] for m in matches])
             rows["m_label"].append([m[2] for m in matches])
