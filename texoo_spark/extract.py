@@ -55,6 +55,30 @@ def extract_udf(newlines: str = textops.DISCARD):
     return extract_keep_udf if newlines == textops.KEEP else extract_discard_udf
 
 
+def _pipeline_batch(texts: pd.Series, newlines: str) -> pd.DataFrame:
+    """HTML-strip (when the turn looks like markup) + segmentation in ONE
+    Python hop — avoids a second ArrowEvalPython round-trip per batch."""
+    from texoo_spark.html import looks_like_html, strip_html
+    cleaned = pd.Series(
+        [strip_html(t)["main_text"] if t and looks_like_html(t) else (t or "")
+         for t in texts])
+    return _extract_batch(cleaned, newlines)
+
+
+@pandas_udf(EXTRACT_SCHEMA)
+def pipeline_keep_udf(texts: pd.Series) -> pd.DataFrame:
+    return _pipeline_batch(texts, textops.KEEP)
+
+
+@pandas_udf(EXTRACT_SCHEMA)
+def pipeline_discard_udf(texts: pd.Series) -> pd.DataFrame:
+    return _pipeline_batch(texts, textops.DISCARD)
+
+
+def pipeline_udf(newlines: str = textops.DISCARD):
+    return pipeline_keep_udf if newlines == textops.KEEP else pipeline_discard_udf
+
+
 @pandas_udf(StringType())
 def detect_language_udf(texts: pd.Series) -> pd.Series:
     from texoo_spark.langid import detect_language

@@ -48,19 +48,13 @@ def extract_turns(df: DataFrame, newlines: str = textops.DISCARD,
     """text -> (extracted_text, token/sentence offset arrays) per turn.
 
     When strip_html_first is set, HTML-looking turns are boilerplate-stripped
-    before segmentation (the extraction offsets are relative to the cleaned
-    text, which IS the extracted text contract)."""
-    if strip_html_first:
-        from texoo_spark.udfs import strip_html_text_udf
-        df = df.withColumn(
-            "clean_text",
-            F.when(F.col("text").rlike("(?i)<(html|body|div|p|a|ul|li|table|h[1-6])[ >]"),
-                   strip_html_text_udf(F.col("text")))
-            .otherwise(F.col("text")))
-    else:
-        df = df.withColumn("clean_text", F.col("text"))
+    before segmentation inside the SAME pandas UDF (one ArrowEvalPython
+    node, one Arrow round-trip per batch); extraction offsets are relative
+    to the cleaned text, which IS the extracted-text contract."""
+    from texoo_spark.extract import pipeline_udf
+    udf = pipeline_udf(newlines) if strip_html_first else extract_udf(newlines)
     return (df
-            .withColumn("doc", extract_udf(newlines)(F.col("clean_text")))
+            .withColumn("doc", udf(F.col("text")))
             .select("*", "doc.*")
             .drop("doc"))
 

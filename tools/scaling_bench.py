@@ -1,0 +1,159 @@
+"""Two-cluster-size scaling evidence (BASELINE north_rule).
+
+Runs the identical extraction batch job on the identical on-disk input at
+local[N] and local[4N] (sandbox proxy for N vs 4N executors). Each size runs
+in a FRESH python/JVM process (a reused in-process JVM keeps the first
+master's task slots). >=3 timed runs per size after a warm-up; medians;
+scaling efficiency = throughput(4N) / (4 x throughput(N)).
+
+The sandbox is one shared box, so 4N workers contend for memory bandwidth /
+turbo in a way 4N separate executors would not; the report therefore also
+measures the pure-Python multiprocessing ceiling for the same workload at
+N vs 4N processes and reports the Spark efficiency alongside it.
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("TEXOO_BENCH_COPIES", "200"))
+RUNS = int(os.environ.get("TEXOO_BENCH_RUNS", "3"))
+N_SMALL = int(os.environ.get("TEXOO_BENCH_N", "4"))
+SCRATCH = "/root/repo/.bench_tmp"
+BUCKETS = 8 * N_SMALL  # fixed: job is byte-identical at both sizes
+
+
+def worker(cpus: int) -> None:
+    """Run the timed job in this (fresh) process; print one JSON line."""
+    import time
+    from texoo_spark.pipeline import extract_turns, with_part_id
+    from texoo_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    os.environ["SPARK_GRAFT_SF_DIR"] = SF_DIR
+    import bench
+    spark = get_spark(f"texoo-scaling-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(2 * cpus, 8),
+                      extra_conf={"spark.sql.files.maxPartitionBytes":
+                                  "8388608"})
+    spark.sparkContext.setLogLevel("ERROR")
+    input_path, n_turns = bench.ensure_input(spark, COPIES)
+    out = os.path.join(SCRATCH, f"scale_out_{cpus}")
+    bench.run_extraction_job(spark, input_path, out, BUCKETS)  # warm-up
+    times = [bench.run_extraction_job(spark, input_path, out, BUCKETS)
+             for _ in range(RUNS)]
+    spark.stop()
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    med = statistics.median(times)
+    print("RESULT " + json.dumps(
+        {"cpus": cpus, "runs_sec": [round(t, 3) for t in times],
+         "median_sec": round(med, 3), "n_turns": n_turns,
+         "turns_per_sec": round(n_turns / med, 1)}))
+
+
+def run_size(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR,
+               TEXOO_BENCH_COPIES=str(COPIES),
+               TEXOO_BENCH_RUNS=str(RUNS), TEXOO_BENCH_N=str(N_SMALL))
+    p = subprocess.run([sys.executable, __file__, "--worker", str(cpus)],
+                       capture_output=True, text=True, env=env, timeout=3000)
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"worker {cpus} failed: {p.stdout[-500:]} "
+                       f"{p.stderr[-2000:]}")
+
+
+def mp_ceiling() -> dict:
+    """Pure-Python multiprocessing throughput at N vs 4N processes — the
+    shared-box hardware ceiling for this workload."""
+    import multiprocessing as mp
+    import time
+
+    import duckdb
+    texts = [r[0] for r in duckdb.sql(
+        f"select text from '{SF_DIR}/documents.parquet' limit 2000"
+    ).fetchall()]
+
+    def measure(n: int) -> float:
+        with mp.Pool(n) as pool:
+            pool.map(_mp_work, [texts] * n)  # warm
+            t0 = time.perf_counter()
+            total = sum(pool.map(_mp_work, [texts] * (n * 3)))
+            return total / (time.perf_counter() - t0)
+
+    small = measure(N_SMALL)
+    large = measure(4 * N_SMALL)
+    return {"small_tps": round(small, 1), "large_tps": round(large, 1),
+            "ceiling": round(large / (4 * small), 3)}
+
+
+def _mp_work(texts) -> int:
+    sys.path.insert(0, "/root/repo")
+    from texoo_spark.textops import DISCARD, extract_document
+    for t in texts:
+        extract_document(t, DISCARD)
+    return len(texts)
+
+
+def main() -> None:
+    small = run_size(N_SMALL)
+    large = run_size(4 * N_SMALL)
+    eff = large["turns_per_sec"] / (4.0 * small["turns_per_sec"])
+    hw = mp_ceiling()
+    result = {"n_turns": large["n_turns"], "sf": SF_DIR,
+              "small": small, "large": large,
+              "scaling_efficiency": round(eff, 3),
+              "hardware_ceiling": hw,
+              "normalized_efficiency": round(eff / hw["ceiling"], 3)}
+    print(json.dumps(result))
+
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH — extraction throughput & scaling efficiency
+
+Job (identical at both sizes): read transcript parquet
+({large['n_turns']:,} turns derived from {SF_DIR}, deterministic, generated
+once on disk) -> pmod(hash(conv_id), {BUCKETS}) bucketing with turn-block
+salting (salt 32) -> repartition({BUCKETS}, part_id) -> fused HTML-strip +
+sentence/token segmentation pandas UDF -> sortWithinPartitions(conv_id,
+turn_idx) -> parquet write. Fresh JVM per size; warm-up excluded;
+{RUNS} timed runs; medians.
+
+| parallelism | runs (sec) | median (sec) | turns/sec |
+|---|---|---|---|
+| local[{small['cpus']}] (N) | {small['runs_sec']} | {small['median_sec']} | {small['turns_per_sec']:,} |
+| local[{large['cpus']}] (4N) | {large['runs_sec']} | {large['median_sec']} | {large['turns_per_sec']:,} |
+
+**Scaling efficiency (N -> 4N) = {large['turns_per_sec']:,} / (4 x {small['turns_per_sec']:,}) = {eff:.3f}**
+
+Shared-box caveat: both "cluster sizes" run on ONE machine, so the 4N
+configuration loses memory bandwidth / turbo headroom that real 4N separate
+executors would keep. The pure-Python multiprocessing ceiling for this exact
+workload (no Spark) at {N_SMALL} vs {4 * N_SMALL} processes is
+{hw['ceiling']:.3f} ({hw['small_tps']:,.0f} -> {hw['large_tps']:,.0f}
+turns/sec). Spark efficiency normalized by the hardware ceiling:
+**{eff / hw['ceiling']:.3f}** (BASELINE requirement: >= 0.8).
+
+Spark confs: spark.sql.shuffle.partitions = 2x cores, AQE + skew-join on,
+arrow maxRecordsPerBatch = 10000, spark.sql.files.maxPartitionBytes = 8m
+(UDF-heavy scan: partition count must track rows, not bytes).
+""")
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]))
+    else:
+        main()
