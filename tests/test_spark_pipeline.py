@@ -1,0 +1,135 @@
+"""Spark integration tests: per-turn extraction equality against the pure
+Python reference implementation, pipeline resume from manifests, spans.
+
+These need a local SparkSession (session-scoped; slower than the unit
+suites, still < 2 min)."""
+
+import os
+import shutil
+
+import pytest
+
+from texoo_spark import textops
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from texoo_spark.session import get_spark
+    s = get_spark("texoo-tests", master="local[4]", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def fixture_turns(spark):
+    """Transcript table built from the reference golden strings (F1)."""
+    from tests.test_textops import DEMENTIA, DE_TEXT, MED_TEXT, TAB_TEXT
+    rows = []
+    strings = [
+        DEMENTIA, MED_TEXT, DE_TEXT, TAB_TEXT,
+        "sentence.\n\nEEG:\nEEG Lorem ipsum dolor",
+        "They describe the process in three stages:\n1. Adaptive stage.",
+        "Nearing the coast of Mexico, the depression attained its peak "
+        "intensity with winds of 35 mph (55 km/h) and a minimum pressure "
+        "of 1,007 mbar (29.7 inHg).",
+    ]
+    for i, text in enumerate(strings):
+        rows.append((f"conv-{i % 3}", i, "user", text, None))
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string")
+
+
+def test_per_turn_text_equality(spark, fixture_turns):
+    """THE correctness contract: extracted_text from the Spark pipeline
+    equals the pure-Python reference reconstruction for every turn."""
+    from texoo_spark.pipeline import extract_turns
+    out = extract_turns(fixture_turns, newlines=textops.DISCARD,
+                        strip_html_first=False).collect()
+    assert len(out) == 7
+    for row in out:
+        expected = textops.extract_document(row.text, textops.DISCARD)
+        assert row.extracted_text == expected.text, row.text[:40]
+        assert row.n_sentences == len(expected.sentences)
+        assert row.n_tokens == len(expected.tokens)
+        # offsets slice the extracted text back to the token surface
+        for t, b, e in zip(row.tok_text, row.tok_begin, row.tok_end):
+            assert row.extracted_text[b:e] == t
+
+
+def test_extract_keep_mode(spark, fixture_turns):
+    from texoo_spark.pipeline import extract_turns
+    out = extract_turns(fixture_turns, newlines=textops.KEEP,
+                        strip_html_first=False).collect()
+    for row in out:
+        expected = textops.extract_document(row.text, textops.KEEP)
+        assert row.extracted_text == expected.text
+
+
+def test_html_turns_extracted(spark):
+    from texoo_spark.pipeline import extract_turns
+    para = ("Several specific diagnostic criteria can be used to diagnose "
+            "vascular dementia, including the DSM-IV and ICD-10 criteria.")
+    html = (f"<html><body><nav><a href='/x'>nav link text</a></nav>"
+            f"<p>{para}</p><footer>copyright</footer></body></html>")
+    df = spark.createDataFrame(
+        [("c1", 0, "user", html, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string")
+    row = extract_turns(df).collect()[0]
+    assert row.extracted_text == para
+    assert "nav link" not in row.extracted_text
+
+
+def test_spans_long(spark, fixture_turns):
+    from texoo_spark.pipeline import extract_turns, spans_long
+    spans = spans_long(extract_turns(fixture_turns,
+                                     strip_html_first=False))
+    rows = spans.collect()
+    assert all(r.ann_type == "SENTENCE" for r in rows)
+    med_rows = [r for r in rows if r.turn_idx == 1]
+    assert len(med_rows) == 2  # medText has 2 sentences
+    assert med_rows[0].begin == 0
+    assert med_rows[1].begin == 152
+
+
+def test_run_extraction_resume(spark, fixture_turns, tmp_path_factory):
+    """Manifests make the job resumable: a second run processes nothing."""
+    from texoo_spark.pipeline import run_extraction
+    base = str(tmp_path_factory.mktemp("pipe"))
+    inp = os.path.join(base, "input")
+    outp = os.path.join(base, "out")
+    fixture_turns.withColumn("ts", __import__("pyspark.sql.functions",
+                                              fromlist=["F"]).lit(None)
+                             .cast("timestamp")) \
+        .write.parquet(inp)
+    r1 = run_extraction(spark, inp, outp, n_buckets=4, salt_buckets=2)
+    assert r1["processed_parts"] >= 1
+    assert r1["n_turns"] == 7
+    r2 = run_extraction(spark, inp, outp, n_buckets=4, salt_buckets=2)
+    assert r2["processed_parts"] == 0
+    assert r2["skipped_parts"] == r1["processed_parts"]
+    # manifest carries lineage + metrics
+    mani = spark.read.parquet(os.path.join(outp, "_manifest")).collect()
+    assert all(m.status == "done" for m in mani)
+    assert sum(m.n_turns for m in mani) == 7
+    assert all(m.input_path == inp for m in mani)
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_gazetteer_udf_spark(spark):
+    from pyspark.sql import functions as F
+    from texoo_spark.pipeline import extract_turns
+    from texoo_spark.udfs import make_gazetteer_udf
+    from tests.test_spans import IMMUNO, TERMS
+    df = spark.createDataFrame(
+        [("c", 0, "user", IMMUNO, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string")
+    ext = extract_turns(df, strip_html_first=False)
+    gaz = make_gazetteer_udf(TERMS, "CASE_SENSITIVE")
+    row = (ext.withColumn("m", gaz(F.col("extracted_text"),
+                                   F.col("tok_begin"), F.col("tok_end")))
+           .select(F.size("m.m_begin").alias("n")).collect()[0])
+    assert row.n == 8  # MatchingAnnotatorTest.testCaseSensitive

@@ -95,8 +95,10 @@ def run_extraction(spark: SparkSession, input_path: str, output_dir: str,
                     newlines=newlines)
                  .sortWithinPartitions("conv_id", "turn_idx"))
 
+    # clustered plain write: rows arrive grouped by part_id (repartition
+    # above), so parquet row-group stats prune part_id predicates on read
+    # without the dynamic-partition writer's sort/fanout overhead
     (extracted.write.mode("append")
-     .partitionBy("part_id")
      .parquet(data_path))
 
     # metrics from the written files (metadata-cheap column-pruned scan)
