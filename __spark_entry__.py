@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 (resolves pandas_udf type hints)
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -275,6 +276,67 @@ def q_quality_scores(spark, sf_dir):
         F.round(stop_ratio, 6).alias("stopword_ratio"))
 
 
+def q_conv_rebase(spark, sf_dir):
+    """T10 Document.append offset algebra: per-turn offsets rebased into
+    conversation space via a window cumulative sum (no UDF)."""
+    from texoo_spark.conversation import rebase_turn_offsets
+    docs = _load(spark, sf_dir, "documents")
+    turns = (docs
+             .withColumn("conv_id", (F.col("doc_id") % 50).cast("long"))
+             .withColumn("turn_idx", (F.col("doc_id") / 50).cast("long")))
+    return (rebase_turn_offsets(turns, text_col="text")
+            .select("doc_id", "conv_begin", "conv_end"))
+
+
+def q_newline_segments(spark, sf_dir):
+    """A7 newline segmentation: a segment ends at every sentence containing
+    a newline token (SectorAnnotator.applySectionsFromNewlines)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+    from texoo_spark.extract import extract_keep_udf
+    from texoo_spark.segment import segments_from_newlines
+
+    @pandas_udf(LongType())
+    def n_segments(tok_text: pd.Series, starts: pd.Series,
+                   ends: pd.Series) -> pd.Series:
+        out = []
+        for toks, ts, te in zip(tok_text, starts, ends):
+            toks = list(toks)
+            has_nl = ["\n" in toks[a:b] for a, b in zip(ts, te)]
+            out.append(len(segments_from_newlines(has_nl)))
+        return pd.Series(out)
+
+    docs = _load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    three_part = F.concat(
+        F.array_join(F.slice(words, 1, 5), " "), F.lit("\n"),
+        F.array_join(F.slice(words, 6, 5), " "), F.lit("\n"),
+        F.array_join(F.slice(words, 11, F.size(words) - 10), " "))
+    return (docs.filter(F.size(words) > 10)
+            .withColumn("doc", extract_keep_udf(three_part))
+            .select("doc_id",
+                    n_segments(F.col("doc.tok_text"),
+                               F.col("doc.sent_tok_start"),
+                               F.col("doc.sent_tok_end")).alias("n_segments")))
+
+
+def q_max_overlap_token(spark, sf_dir):
+    """R3 max-overlap join: for the probe char range [10, 40), the token
+    with the largest overlap, per document."""
+    from texoo_spark.conversation import max_overlap_join
+    toks = (_extracted_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.explode(F.arrays_zip("tok_begin", "tok_end")).alias("t"))
+            .select("doc_id", F.col("t.tok_begin").alias("c_begin"),
+                    F.col("t.tok_end").alias("c_end")))
+    probes = (_load(spark, sf_dir, "documents")
+              .select("doc_id", F.lit(10).alias("p_begin"),
+                      F.lit(40).alias("p_end")))
+    return (max_overlap_join(probes, toks, ["doc_id"])
+            .select("doc_id", F.col("c_begin").cast("long").alias("best_begin"),
+                    F.col("overlap").cast("long").alias("overlap")))
+
+
 # --- rows-only queries (non-SQL-expressible; pytest-gated semantics) ---
 
 def q_minhash_near_dups(spark, sf_dir):
@@ -371,6 +433,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_mrr": q_retrieval_mrr,
         "knn_cosine": q_knn_cosine,
         "quality_scores": q_quality_scores,
+        "conv_rebase": q_conv_rebase,
+        "newline_segments": q_newline_segments,
+        "max_overlap_token": q_max_overlap_token,
         # rows-only (non-SQL-expressible)
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
@@ -470,6 +535,35 @@ def oracle_sql() -> dict[str, str]:
             " alls AS (SELECT DISTINCT label FROM ranked)"
             " SELECT ROUND(AVG(COALESCE(1.0 / first_rank, 0.0)), 6) AS mrr"
             " FROM alls LEFT JOIN firsts USING (label)"),
+        "conv_rebase": (
+            "WITH t AS (SELECT doc_id, text, doc_id % 50 AS conv,"
+            " doc_id // 50 AS turn FROM documents)"
+            " SELECT doc_id,"
+            " CAST(COALESCE(SUM(length(text) + 1) OVER w, 0) AS BIGINT)"
+            " AS conv_begin,"
+            " CAST(COALESCE(SUM(length(text) + 1) OVER w, 0) + length(text)"
+            " AS BIGINT) AS conv_end FROM t"
+            " WINDOW w AS (PARTITION BY conv ORDER BY turn"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"),
+        "newline_segments": (
+            "SELECT doc_id, CAST(3 AS BIGINT) AS n_segments FROM documents"
+            " WHERE len(string_split(text, ' ')) > 10"),
+        "max_overlap_token": (
+            "WITH toks AS (SELECT doc_id,"
+            " unnest(string_split(text, ' ')) AS tok,"
+            " unnest(range(1, len(string_split(text, ' ')) + 1)) AS idx"
+            " FROM documents),"
+            " pos AS (SELECT doc_id, idx,"
+            " CAST(COALESCE(SUM(length(tok) + 1) OVER (PARTITION BY doc_id"
+            " ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+            " 0) AS BIGINT) AS b, length(tok) AS l FROM toks),"
+            " ov AS (SELECT doc_id, b AS best_begin,"
+            " LEAST(b + l, 40) - GREATEST(b, 10) AS overlap,"
+            " ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY"
+            " LEAST(b + l, 40) - GREATEST(b, 10) DESC, b) AS rn"
+            " FROM pos WHERE LEAST(b + l, 40) - GREATEST(b, 10) > 0)"
+            " SELECT doc_id, best_begin, CAST(overlap AS BIGINT) AS overlap"
+            " FROM ov WHERE rn = 1"),
         "knn_cosine": (
             "SELECT vec_id, ROUND(list_cosine_similarity("
             " CAST(embedding AS DOUBLE[]),"
