@@ -1,0 +1,133 @@
+"""Spark tests for linking, annotator facade, conversation ops, dedup/knn."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from texoo_spark.session import get_spark
+    s = get_spark("texoo-ops-tests", master="local[4]", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def test_link_mentions(spark):
+    from texoo_spark.linking import link_mentions, rerank_by_context
+    mentions = spark.createDataFrame(
+        [("c", 0, 0, 5, "Paris", [1.0, 0.0]),
+         ("c", 0, 10, 16, "Berlin", [0.0, 1.0]),
+         ("c", 1, 0, 4, "Nowhere", [1.0, 1.0])],
+        "conv_id string, turn_idx int, begin int, end int, surface string,"
+        " context_vec array<float>")
+    aliases = spark.createDataFrame(
+        [("paris", "Q90", 0.9), ("paris", "Q167646", 0.1),
+         ("berlin", "Q64", 0.95)],
+        "alias string, entity_id string, prior double")
+    cands = link_mentions(mentions, aliases, top_k=2)
+    rows = {(r.surface, r.cand_rank): r.entity_id for r in cands.collect()}
+    assert rows[("Paris", 1)] == "Q90"
+    assert rows[("Paris", 2)] == "Q167646"
+    assert rows[("Berlin", 1)] == "Q64"
+    assert rows[("Nowhere", 1)] is None
+
+    vecs = {"Q90": np.array([1.0, 0.0]), "Q167646": np.array([0.0, 1.0]),
+            "Q64": np.array([0.0, 1.0])}
+    linked = rerank_by_context(cands.filter(F.col("entity_id").isNotNull()),
+                               vecs)
+    best = {r.surface: r.entity_id for r in linked.collect()}
+    assert best["Paris"] == "Q90"   # context [1,0] prefers Q90
+    assert best["Berlin"] == "Q64"
+
+
+def test_pipeline_facade(spark):
+    from texoo_spark.annotator import extraction_pipeline, gazetteer_annotator
+    df = spark.createDataFrame(
+        [("c", 0, "user", "Aspirin is a drug. Aspirin works.", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string")
+    pipe = extraction_pipeline(strip_html=False)
+    pipe.stages.append(gazetteer_annotator(["Aspirin", "drug"]))
+    out = pipe.run(df).collect()[0]
+    assert out.n_sentences == 2
+    assert len(out.m_begin) == 3  # Aspirin x2 + drug
+    prov = pipe.provenance()
+    assert [s["name"] for s in prov["stages"]] == ["extract", "gazetteer"]
+    assert prov["code_version"]
+
+
+def test_rebase_turn_offsets(spark):
+    from texoo_spark.conversation import rebase_turn_offsets
+    df = spark.createDataFrame(
+        [("c", 0, "abcde"), ("c", 1, "fgh"), ("c", 2, "ij"),
+         ("d", 0, "xyz")],
+        "conv_id string, turn_idx int, extracted_text string")
+    rows = {(r.conv_id, r.turn_idx): (r.conv_begin, r.conv_end)
+            for r in rebase_turn_offsets(df).collect()}
+    # Document.append semantics: next turn starts at prev end + 1
+    assert rows[("c", 0)] == (0, 5)
+    assert rows[("c", 1)] == (6, 9)
+    assert rows[("c", 2)] == (10, 12)
+    assert rows[("d", 0)] == (0, 3)
+
+
+def test_max_overlap_join(spark):
+    from texoo_spark.conversation import max_overlap_join
+    probes = spark.createDataFrame([(1, 5, 15)], "k int, p_begin int, p_end int")
+    cands = spark.createDataFrame(
+        [(1, 0, 8), (1, 8, 14), (1, 14, 30)],
+        "k int, c_begin int, c_end int")
+    row = max_overlap_join(probes, cands, ["k"]).collect()[0]
+    assert (row.c_begin, row.c_end, row.overlap) == (8, 14, 6)
+
+
+def test_exact_dedup(spark):
+    from texoo_spark.dedup import dedup_exact, exact_duplicates
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string")
+    dups = exact_duplicates(df).collect()
+    assert len(dups) == 1
+    assert dups[0].n_copies == 2 and dups[0].keep_id == 1
+    kept = sorted(r.doc_id for r in dedup_exact(df).collect())
+    assert kept == [1, 3]
+
+
+def test_minhash_jaccard_semantics(spark):
+    from texoo_spark.dedup import jaccard, minhash_signature
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a + " extra"
+    sig_a = minhash_signature(a)
+    sig_b = minhash_signature(b)
+    est = float(np.mean(sig_a == sig_b))
+    true = jaccard(a, b)
+    assert abs(est - true) < 0.35  # 64 hashes: coarse but unbiased
+    assert jaccard(a, a) == 1.0
+
+
+def test_simhash_close_texts(spark):
+    from texoo_spark.dedup import hamming64, simhash64
+    a = "the quick brown fox jumps over the lazy dog " * 4
+    b = a + "extra word"
+    assert hamming64(simhash64(a), simhash64(b)) <= 8
+    assert hamming64(simhash64(a), simhash64("completely different stuff "
+                                             "about spark queries")) > 8
+
+
+def test_brute_force_and_ivf_topk(spark):
+    from texoo_spark.knn import brute_force_topk, ivf_assign, ivf_topk
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(100, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    q = vecs[7].tolist()
+    exact = [r.vec_id for r in brute_force_topk(df, q, k=5).collect()]
+    assert exact[0] == 7  # self is nearest
+    with_cells, cents = ivf_assign(df, n_cells=4)
+    approx = [r.vec_id for r in
+              ivf_topk(with_cells, cents, q, k=5, probes=4).collect()]
+    assert approx == exact  # probes = all cells -> exact

@@ -239,6 +239,12 @@ def position_features(tok_idx: int, n_tokens_sent: int,
     ], dtype=np.float32)
 
 
+def encoder_set(*vectors: np.ndarray) -> np.ndarray:
+    """Feature concatenation (E12, Span.getVector(encoders) /
+    EncoderSet semantics: Span.java:221-231)."""
+    return np.concatenate([np.asarray(v, dtype=np.float32) for v in vectors])
+
+
 class OneHotEncoder:
     def __init__(self, labels: list[str]):
         seen: dict[str, int] = {}

@@ -14,6 +14,7 @@ numpy matmul inside a pandas UDF over Arrow batches.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # noqa: F401 (resolves pandas_udf type hints)
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 

@@ -46,6 +46,39 @@ def prf1(tp: float, fp: float, fn: float) -> tuple[float, float, float]:
     return p, r, f
 
 
+def classification_report(pairs: list[tuple[str, str]]) -> dict:
+    """Per-class and aggregate classification scores (V5 shape,
+    ref: texoo-core/.../eval/ClassificationEvaluation.java): pairs of
+    (gold_label, pred_label) -> accuracy, per-class P/R/F1, micro/macro."""
+    labels = sorted({g for g, _ in pairs} | {p for _, p in pairs})
+    tp = {c: 0 for c in labels}
+    fp = {c: 0 for c in labels}
+    fn = {c: 0 for c in labels}
+    correct = 0
+    for g, p in pairs:
+        if g == p:
+            correct += 1
+            tp[g] += 1
+        else:
+            fp[p] += 1
+            fn[g] += 1
+    per_class = {}
+    for c in labels:
+        p, r, f = prf1(tp[c], fp[c], fn[c])
+        per_class[c] = {"precision": p, "recall": r, "f1": f,
+                        "support": tp[c] + fn[c]}
+    micro = prf1(sum(tp.values()), sum(fp.values()), sum(fn.values()))
+    n = max(len(labels), 1)
+    macro_p = sum(v["precision"] for v in per_class.values()) / n
+    macro_r = sum(v["recall"] for v in per_class.values()) / n
+    macro_f = ((2 * macro_p * macro_r) / (macro_p + macro_r)
+               if macro_p + macro_r > 0 else 0.0)
+    return {"accuracy": correct / len(pairs) if pairs else 0.0,
+            "per_class": per_class,
+            "micro_f1": micro[2], "macro_f1": macro_f,
+            "macro_precision": macro_p, "macro_recall": macro_r}
+
+
 # ---------------------------------------------------------------------------
 # Segmentation Pk / WindowDiff
 # ---------------------------------------------------------------------------
