@@ -65,6 +65,26 @@ def extraction_pipeline(newlines: str = "DISCARD",
         newlines=newlines, strip_html=strip_html)
 
 
+def route_by_language(df: DataFrame,
+                      annotators: dict[str, Annotator],
+                      default_lang: str = "en",
+                      lang_col: str = "lang") -> DataFrame:
+    """A3 (GenericMentionAnnotator.java:64-78): dispatch rows to a
+    per-language annotator and union the results. Missing languages fall
+    back to the default annotator."""
+    from pyspark.sql import functions as F
+    default = annotators[default_lang]
+    known = list(annotators)
+    parts = [ann.annotate(df.filter(F.col(lang_col) == lang))
+             for lang, ann in annotators.items()]
+    parts.append(default.annotate(df.filter(~F.col(lang_col).isin(known)
+                                            | F.col(lang_col).isNull())))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def gazetteer_annotator(terms: list[str],
                         case_strategy: str = "CASE_SENSITIVE",
                         label: str = "GENERIC") -> Annotator:

@@ -239,6 +239,61 @@ def position_features(tok_idx: int, n_tokens_sent: int,
     ], dtype=np.float32)
 
 
+class EmbeddingLookup:
+    """E8 (Word2VecEncoder/FastTextEncoder shape): pretrained embedding
+    lookup from a broadcastable {word -> row index} + matrix pair; unknown
+    words map to the zero vector. Use np.take over token index arrays."""
+
+    def __init__(self, words: list[str], matrix: np.ndarray):
+        self.index = {w: i for i, w in enumerate(words)}
+        self.matrix = np.vstack([matrix.astype(np.float32),
+                                 np.zeros((1, matrix.shape[1]),
+                                          dtype=np.float32)])
+        self.unk = len(words)
+
+    @property
+    def size(self) -> int:
+        return self.matrix.shape[1]
+
+    def encode(self, word: str) -> np.ndarray:
+        return self.matrix[self.index.get(word, self.unk)]
+
+    def encode_tokens(self, tokens: list[str]) -> np.ndarray:
+        idx = np.fromiter((self.index.get(t, self.unk) for t in tokens),
+                          dtype=np.int64, count=len(tokens))
+        return np.take(self.matrix, idx, axis=0)
+
+
+class HeadingEncoder:
+    """E10 (texoo-sector/.../encoder/HeadingEncoder.java:29-92): multi-word
+    heading bag over a trained heading vocabulary with an `other` fallback
+    dimension at index 0."""
+
+    def __init__(self, headings: list[str], min_frequency: int = 1):
+        freq: dict[str, int] = {}
+        for h in headings:
+            for w in h.lower().split():
+                freq[w] = freq.get(w, 0) + 1
+        words = sorted(w for w, c in freq.items() if c >= min_frequency)
+        self.vocab = {w: i + 1 for i, w in enumerate(words)}  # 0 = other
+
+    @property
+    def size(self) -> int:
+        return len(self.vocab) + 1
+
+    def encode(self, heading: str) -> np.ndarray:
+        v = np.zeros(self.size, dtype=np.float32)
+        hit = False
+        for w in (heading or "").lower().split():
+            i = self.vocab.get(w)
+            if i is not None:
+                v[i] = 1.0
+                hit = True
+        if not hit:
+            v[0] = 1.0  # other
+        return v
+
+
 def encoder_set(*vectors: np.ndarray) -> np.ndarray:
     """Feature concatenation (E12, Span.getVector(encoders) /
     EncoderSet semantics: Span.java:221-231)."""

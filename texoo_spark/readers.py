@@ -210,6 +210,34 @@ def read_choi(text: str):
 
 
 # ---------------------------------------------------------------------------
+# WNED entity-linking benchmark reader (S9)
+# ref: texoo-entity-linking/.../nel/reader/WNEDDataset.java
+# ---------------------------------------------------------------------------
+
+def read_wned_annotations(xml_text: str):
+    """Parse a WNED dataset XML into per-document linked-mention rows:
+    {doc_name, mentions: [(surface, wiki_name, offset, length)]}.
+    Raw document texts live in sibling files (resolved by the caller)."""
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(xml_text)
+    out = []
+    for doc in root.iter("document"):
+        mentions = []
+        for ann in doc.iter("annotation"):
+            def _text(tag):
+                el = ann.find(tag)
+                return el.text if el is not None else None
+            mentions.append({
+                "surface": _text("mention"),
+                "wiki_name": _text("wikiName"),
+                "offset": int(_text("offset") or 0),
+                "length": int(_text("length") or 0),
+            })
+        out.append({"doc_name": doc.get("docName"), "mentions": mentions})
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Spark wrappers
 # ---------------------------------------------------------------------------
 

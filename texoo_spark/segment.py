@@ -189,6 +189,31 @@ def segments_from_newlines(has_newline: list[bool]) -> list[tuple[int, int]]:
     return segments
 
 
+def attach_segment_labels(predictions: np.ndarray,
+                          segments: list[tuple[int, int]],
+                          label_matrix: np.ndarray,
+                          labels: list[str]) -> list[dict]:
+    """A12 (SectorAnnotator.attachVectorsToAnnotations, java:332-363):
+    per segment, label = nearest neighbour of the mean sentence prediction;
+    heading = top-2 neighbours joined with '/'; confidence = best score."""
+    norms = np.linalg.norm(label_matrix, axis=1)
+    norms[norms == 0] = 1.0
+    lm = label_matrix / norms[:, None]
+    out = []
+    for s, e in segments:
+        mean = predictions[s:e].mean(axis=0)
+        n = np.linalg.norm(mean)
+        sims = lm @ (mean / n if n > 0 else mean)
+        order = np.argsort(-sims, kind="stable")
+        out.append({
+            "sent_begin": s, "sent_end": e,
+            "label": labels[order[0]],
+            "heading": "/".join(labels[i] for i in order[:2]),
+            "confidence": float(sims[order[0]]),
+        })
+    return out
+
+
 def segments_from_target_labels(predictions: np.ndarray,
                                 label_matrix: np.ndarray,
                                 k: int = 2) -> list[tuple[int, int]]:

@@ -487,3 +487,20 @@ def replace_numbers(s: str, rep: str) -> str:
 
 def replace_spaces(s: str, rep: str) -> str:
     return _SPACES.sub(rep, s)
+
+
+def minimal_lowercase(token: str, newline_marker: bool = False) -> str:
+    """Token key normalization for lookups (T9, ref:
+    texoo-core/.../preprocess/MinimalLowercaseNewlinePreprocessor.java):
+    umlauts -> ascii pairs, NFD accents, punctuation stripped, digit runs
+    -> '#', space runs -> '_', lowercase; optionally '\\n' -> '*NL*'."""
+    if token is None:
+        return None
+    if newline_marker and token == "\n":
+        return "*NL*"
+    token = replace_umlauts(token)
+    token = replace_accents(token)
+    token = replace_punctuation(token, "")
+    token = replace_numbers(token, "#")
+    token = replace_spaces(token, "_")
+    return token.lower()
