@@ -337,7 +337,36 @@ def q_max_overlap_token(spark, sf_dir):
                     F.col("overlap").cast("long").alias("overlap")))
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: text payloads as opaque binary -> mapInPandas
+    feature extraction (sha256 + byte counts; decode stubbed)."""
+    from texoo_spark.multimodal import extract_media_features
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(0).alias("width"), F.lit(0).alias("height"),
+        F.lit(0).alias("duration_ms"),
+        F.encode(F.col("text"), "utf-8").alias("payload"))
+    return (extract_media_features(media, dims=8)
+            .select(F.col("media_id").alias("doc_id"), "sha256", "n_bytes"))
+
+
 # --- rows-only queries (non-SQL-expressible; pytest-gated semantics) ---
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup via sign-random-projection LSH: every
+    vector paired with a perturbed copy must be rediscovered."""
+    from texoo_spark.dedup import embedding_near_dups
+    emb = _load(spark, sf_dir, "embeddings").limit(200)
+    noised = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.0001).alias("embedding"))
+    both = emb.select("vec_id", "embedding").unionByName(noised)
+    return (embedding_near_dups(both, min_cosine=0.999)
+            .filter(F.col("id_b") - F.col("id_a") == 1_000_000)
+            .select("id_a", "id_b"))
 
 def q_minhash_near_dups(spark, sf_dir):
     """MinHash+LSH near-dup detection: pair each doc with a mutated copy
@@ -436,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_rebase": q_conv_rebase,
         "newline_segments": q_newline_segments,
         "max_overlap_token": q_max_overlap_token,
+        "media_features": q_media_features,
         # rows-only (non-SQL-expressible)
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
@@ -443,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": q_ivf_knn,
         "bemd_segments": q_bemd_segments,
         "fingerprints": q_fingerprints,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
@@ -570,6 +601,9 @@ def oracle_sql() -> dict[str, str]:
             " (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings"
             " WHERE vec_id = 0)), 6) AS cosine"
             " FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"),
+        "media_features": (
+            "SELECT doc_id, sha256(text) AS sha256,"
+            " CAST(length(text) AS BIGINT) AS n_bytes FROM documents"),
         "quality_scores": (
             f"SELECT doc_id,"
             f" CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,"

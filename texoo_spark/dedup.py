@@ -175,6 +175,58 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
     return pd.Series([signed(simhash64(t or "")) for t in texts])
 
 
+def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        n_planes: int = 12, bands: int = 3,
+                        min_cosine: float = 0.95,
+                        seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-random-projection LSH
+    (Charikar 2002): hash each vector to n_planes sign bits, band the bits,
+    pair only within (band, bucket), verify exact cosine.
+
+    No cross-join: candidate generation is one shuffle on the band bucket;
+    the verify matmul runs on candidate pairs only."""
+    first = df.select(vec_col).first()
+    dims = len(first[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dims).astype(np.float32)
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+    bits_per_band = n_planes // bands
+
+    @pandas_udf(ArrayType(LongType()))
+    def srp_udf(vecs: pd.Series) -> pd.Series:
+        pl = bc.value
+        out = []
+        for v in vecs:
+            bits = (pl @ np.asarray(v, dtype=np.float32)) > 0
+            out.append([int(sum(int(b) << j for j, b in enumerate(
+                bits[band * bits_per_band:(band + 1) * bits_per_band])))
+                for band in range(bands)])
+        return pd.Series(out, dtype="object")
+
+    sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                    srp_udf(F.col(vec_col)).alias("sig"))
+    banded = sig.select("id", "v",
+                        F.posexplode("sig").alias("band", "bucket"))
+    left, right = banded.alias("l"), banded.alias("r")
+    pairs = (left.join(right,
+                       (F.col("l.band") == F.col("r.band"))
+                       & (F.col("l.bucket") == F.col("r.bucket"))
+                       & (F.col("l.id") < F.col("r.id")))
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                     F.col("l.v").alias("v_a"), F.col("r.v").alias("v_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    dot = F.aggregate(F.zip_with("v_a", "v_b", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = (F.sqrt(F.aggregate(F.transform("v_a", lambda a: a * a),
+                               F.lit(0.0), lambda acc, x: acc + x))
+            * F.sqrt(F.aggregate(F.transform("v_b", lambda a: a * a),
+                                 F.lit(0.0), lambda acc, x: acc + x)))
+    return (pairs.withColumn("cosine", dot / norm)
+            .filter(F.col("cosine") >= min_cosine)
+            .select("id_a", "id_b", "cosine"))
+
+
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        max_hamming: int = 3) -> DataFrame:
