@@ -117,6 +117,62 @@ def test_retrieval_backfill():
     assert q["recall_k"][10] == 0.5
 
 
+# --- WindowDiffEvaluationTest additional-segment cases (java:121-152) ---
+
+def test_wd_one_additional_segment():
+    ref = seg(13, [0, 5, 8])
+    hyp = seg(13, [0, 5, 6, 8])
+    k = calculate_k(ref)
+    assert abs(window_diff(ref, hyp, k) - 0.181818) <= 0.03
+
+
+def test_wd_one_additional_misaligned_segment():
+    ref = seg(13, [0, 5, 8])
+    hyp = seg(13, [0, 6, 7, 9])
+    k = calculate_k(ref)
+    assert abs(window_diff(ref, hyp, k) - 0.272727) <= 0.03
+
+
+# --- RetrievalEvaluationTest (java:82-200): Wikipedia MRR/P@k examples ---
+
+Q1_PRED = [("d1", 0.9), ("d2", 0.5), ("d3", 0.1)]
+Q1_GOLD = [("d1", 0), ("d2", 0), ("d3", 1)]
+Q2_PRED = [("d4", 0.9), ("d5", 0.5), ("d6", 0.1)]
+Q2_GOLD = [("d5", 1)]
+Q3_PRED = [("d7", 0.9), ("d8", 0.5), ("d9", 0.1)]
+Q3_GOLD = [("d7", 1)]
+# DCG wikipedia example: 8 graded golds, 6 ranked predictions
+QW_PRED = [("d1", 0.9), ("d2", 0.7), ("d3", 0.5), ("d4", 0.3),
+           ("d5", 0.2), ("d6", 0.1)]
+QW_GOLD = [("d1", 3), ("d2", 2), ("d3", 3), ("d4", 0), ("d5", 1),
+           ("d6", 2), ("d7", 3), ("d8", 2)]
+
+
+def test_retrieval_mrr_wikipedia_cases():
+    assert abs(evaluate_query(Q1_PRED, Q1_GOLD)["mrr"] - 1 / 3) < 1e-3
+    assert abs(evaluate_query(Q2_PRED, Q2_GOLD)["mrr"] - 1 / 2) < 1e-3
+    assert abs(evaluate_query(Q3_PRED, Q3_GOLD)["mrr"] - 1.0) < 1e-3
+    agg = evaluate_queries([evaluate_query(Q1_PRED, Q1_GOLD),
+                            evaluate_query(Q2_PRED, Q2_GOLD),
+                            evaluate_query(Q3_PRED, Q3_GOLD)])
+    assert abs(agg["mrr"] - 11 / 18) < 1e-3
+    assert abs(agg["p_at_1"] - 1 / 3) < 1e-3
+    assert abs(agg["p_at_3"] - 1 / 3) < 1e-3
+    assert abs(agg["r_at_1"] - 1 / 3) < 1e-3
+    assert abs(agg["r_at_3"] - 1.0) < 1e-3
+
+
+def test_retrieval_dcg_wikipedia_case():
+    q = evaluate_query(QW_PRED, QW_GOLD)
+    assert abs(q["mrr"] - 1.0) < 1e-3
+    assert abs(q["precision_k"][1] - 1.0) < 1e-3
+    assert abs(q["precision_k"][4] - 3 / 4) < 1e-3
+    assert abs(q["precision_k"][5] - 4 / 5) < 1e-3
+    assert abs(q["precision_k"][6] - 5 / 6) < 1e-3
+    assert abs(q["precision_k"][7] - 5 / 7) < 1e-3  # rank backfill
+    assert abs(q["precision_k"][8] - 5 / 8) < 1e-3
+
+
 def test_retrieval_macro_average():
     q1 = evaluate_query([("a", 1.0)], [("a", 1)])
     q2 = evaluate_query([("b", 1.0), ("a", 0.5)], [("a", 1)])
