@@ -20,22 +20,20 @@ def _extract_batch(texts: pd.Series, newlines: str) -> pd.DataFrame:
                             "tok_text", "tok_begin", "tok_end",
                             "sent_begin", "sent_end",
                             "sent_tok_start", "sent_tok_end")}
-    extract = textops.extract_document
+    extract = textops.extract_arrays
     for text in texts:
-        if text is None:
-            text = ""
-        doc = extract(text, newlines)
-        toks, sents = doc.tokens, doc.sentences
-        rows["extracted_text"].append(doc.text)
+        tok_texts, begins, ends, sents, extracted = extract(
+            text if text is not None else "", newlines)
+        rows["extracted_text"].append(extracted)
         rows["n_sentences"].append(len(sents))
-        rows["n_tokens"].append(len(toks))
-        rows["tok_text"].append([t.text for t in toks])
-        rows["tok_begin"].append([t.begin for t in toks])
-        rows["tok_end"].append([t.end for t in toks])
-        rows["sent_begin"].append([s.begin for s in sents])
-        rows["sent_end"].append([s.end for s in sents])
-        rows["sent_tok_start"].append([s.tok_start for s in sents])
-        rows["sent_tok_end"].append([s.tok_end for s in sents])
+        rows["n_tokens"].append(len(tok_texts))
+        rows["tok_text"].append(tok_texts)
+        rows["tok_begin"].append(begins)
+        rows["tok_end"].append(ends)
+        rows["sent_begin"].append([s[0] for s in sents])
+        rows["sent_end"].append([s[1] for s in sents])
+        rows["sent_tok_start"].append([s[2] for s in sents])
+        rows["sent_tok_end"].append([s[3] for s in sents])
     return pd.DataFrame(rows)
 
 

@@ -92,8 +92,12 @@ def _refine_token(tok: str, begin: int, out: list[tuple[int, int]]) -> None:
       remainder is a known abbreviation (keeps "etc." whole in "etc.,")
     - interior hyphens/slashes/digit-group separators never split
       ("Jones-Davies", "km/h", "1,007", "29.7" remain single tokens)
+
+    Fast path: str.isalnum() (C speed) — anything alphanumeric-only has no
+    peelable punctuation or clitics, so the outcome is identical to the
+    reference's alphanumeric bypass for our rule set.
     """
-    if len(tok) < 2 or _ALNUM.match(tok) or tok in ABBREVIATIONS:
+    if len(tok) < 2 or tok.isalnum() or tok in ABBREVIATIONS:
         out.append((begin, begin + len(tok)))
         return
     # peel leading quote chars
@@ -288,9 +292,12 @@ KEEP = "KEEP"
 DISCARD = "DISCARD"
 
 
-def extract_document(text: str, newlines: str = DISCARD,
-                     doc_offset: int = 0) -> ExtractedDoc:
-    """Segment raw text into sentences and tokens with char offsets.
+def extract_arrays(text: str, newlines: str = DISCARD,
+                   doc_offset: int = 0):
+    """Segment raw text; array-form core (the Arrow-batch hot path).
+
+    Returns (tok_texts, tok_begins, tok_ends, sentence_spans,
+    extracted_text) using plain lists — no per-token object allocation.
 
     Mirrors DocumentFactory.addToDocumentFromText (java:228-267): sentence
     detection over the whole text, per-sentence tokenization, newline tokens
@@ -299,36 +306,77 @@ def extract_document(text: str, newlines: str = DISCARD,
     """
     if doc_offset > 0:
         doc_offset += 1
-    tokens: list[Token] = []
-    sentences: list[SentenceSpan] = []
+    keep = newlines == KEEP
+    texts: list[str] = []
+    begins: list[int] = []
+    ends: list[int] = []
+    sentences: list[tuple[int, int, int, int]] = []
     count_newlines = 0
     nl_offset = 0
     for sb, se in sent_pos_detect(text):
         sent_text = text[sb:se]
-        tok_start = len(tokens)
+        tok_start = len(texts)
+        base = doc_offset + sb
         for tb, te in tokenize_pos(sent_text):
             tok_text = sent_text[tb:te]
             if tok_text == "\n":
                 count_newlines += 1
-                if newlines == KEEP:
-                    tokens.append(Token(tok_text,
-                                        doc_offset - nl_offset + sb + tb,
-                                        doc_offset - nl_offset + sb + te))
+                if keep:
+                    texts.append(tok_text)
+                    begins.append(base - nl_offset + tb)
+                    ends.append(base - nl_offset + te)
                 elif count_newlines > 1:
                     nl_offset += 1
             else:
-                tokens.append(Token(tok_text,
-                                    doc_offset - nl_offset + sb + tb,
-                                    doc_offset - nl_offset + sb + te))
+                texts.append(tok_text)
+                begins.append(base - nl_offset + tb)
+                ends.append(base - nl_offset + te)
                 count_newlines = 0
-        if len(tokens) > tok_start:
-            sentences.append(SentenceSpan(tokens[tok_start].begin,
-                                          tokens[-1].end,
-                                          tok_start, len(tokens)))
+        n = len(texts)
+        if n > tok_start:
+            sentences.append((begins[tok_start], ends[-1], tok_start, n))
         else:
-            sentences.append(SentenceSpan(0, 0, tok_start, tok_start))
-    begin = tokens[0].begin if tokens else 0
-    return ExtractedDoc(tokens, sentences, tokens_to_text(tokens, begin))
+            sentences.append((0, 0, tok_start, tok_start))
+    extracted = _arrays_to_text(texts, begins, ends,
+                                begins[0] if begins else 0)
+    return texts, begins, ends, sentences, extracted
+
+
+def _arrays_to_text(texts: list[str], begins: list[int], ends: list[int],
+                    begin_offset: int) -> str:
+    """tokens_to_text over parallel arrays (WordHelpers.java:113-137).
+    Our tokenizer guarantees len(word) == end-begin, so the truncate/pad
+    branches of the reference reduce to direct appends; the gap/resync
+    logic is kept in full."""
+    parts: list[str] = []
+    cursor = begin_offset
+    for word, b, e in zip(texts, begins, ends):
+        if not word:
+            continue
+        if cursor > b:
+            parts.append(" ")
+        elif cursor < b:
+            parts.append(" " * (b - cursor))
+        length = e - b
+        if length == len(word):
+            parts.append(word)
+        elif length < len(word):
+            parts.append(word[:length])
+        else:
+            parts.append(word + " " * (length - len(word)))
+        cursor = e
+    return "".join(parts)
+
+
+def extract_document(text: str, newlines: str = DISCARD,
+                     doc_offset: int = 0) -> ExtractedDoc:
+    """Segment raw text into sentences and tokens with char offsets
+    (object-form wrapper over extract_arrays; see there for semantics)."""
+    texts, begins, ends, sents, extracted = extract_arrays(
+        text, newlines, doc_offset)
+    tokens = [Token(t, b, e) for t, b, e in zip(texts, begins, ends)]
+    sentences = [SentenceSpan(*s) for s in sents]
+    return ExtractedDoc(tokens, sentences, extracted)
 
 
 # ---------------------------------------------------------------------------
