@@ -13,9 +13,12 @@ against reference fixtures instead (tests/).
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 
-import pandas as pd  # noqa: F401 (resolves pandas_udf type hints)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pandas as pd  # noqa: F401,E402 (resolves pandas_udf type hints)
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 

@@ -116,6 +116,12 @@ def test_run_extraction_resume(spark, fixture_turns, tmp_path_factory):
     assert all(m.status == "done" for m in mani)
     assert sum(m.n_turns for m in mani) == 7
     assert all(m.input_path == inp for m in mani)
+    # typed spans table written alongside (north_rule contract)
+    spans = spark.read.parquet(os.path.join(outp, "spans"))
+    assert spans.count() > 0
+    assert {f.name for f in spans.schema.fields} >= {
+        "conv_id", "turn_idx", "span_seq", "ann_type", "source",
+        "begin", "end", "confidence"}
     shutil.rmtree(base, ignore_errors=True)
 
 

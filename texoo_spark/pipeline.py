@@ -62,13 +62,18 @@ def extract_turns(df: DataFrame, newlines: str = textops.DISCARD,
 def run_extraction(spark: SparkSession, input_path: str, output_dir: str,
                    n_buckets: int = 64, salt_buckets: int = 4,
                    newlines: str = textops.DISCARD,
-                   resume: bool = True) -> dict:
+                   resume: bool = True,
+                   write_spans: bool = True) -> dict:
     """Batch extraction with checkpointed partition manifests.
 
+    Outputs (BASELINE north_rule): <out>/turns (extracted text + offset
+    arrays), <out>/spans (long-format typed spans per turn), and
+    <out>/_manifest (per-partition lineage + metrics; resume anti-joins it).
     Returns a summary dict {processed_parts, skipped_parts, n_turns}.
     """
     manifest_path = os.path.join(output_dir, "_manifest")
     data_path = os.path.join(output_dir, "turns")
+    spans_path = os.path.join(output_dir, "spans")
 
     df = spark.read.parquet(input_path)
     df = with_part_id(df, n_buckets, salt_buckets)
@@ -100,6 +105,11 @@ def run_extraction(spark: SparkSession, input_path: str, output_dir: str,
     # without the dynamic-partition writer's sort/fanout overhead
     (extracted.write.mode("append")
      .parquet(data_path))
+
+    if write_spans:
+        (spans_long(spark.read.parquet(data_path)
+                    .filter(F.col("part_id").isin(pending_ids)))
+         .write.mode("append").parquet(spans_path))
 
     # metrics from the written files (metadata-cheap column-pruned scan)
     stats = (spark.read.parquet(data_path)
