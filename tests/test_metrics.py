@@ -133,6 +133,30 @@ def test_wd_one_additional_misaligned_segment():
     assert abs(window_diff(ref, hyp, k) - 0.272727) <= 0.03
 
 
+# --- WindowDiffEvaluationTest Hearst-1997 dataset cases (java:156-420) ---
+
+def test_wd_hearst_judge_one():
+    ref = seg(21, [0, 3, 6, 9, 10, 13, 19])
+    hyp = seg(21, [0, 3, 9, 13, 15, 19])
+    k = calculate_k(ref)
+    assert abs(window_diff(ref, hyp, k) - 0.31578947) < 1e-6
+
+
+def test_wd_hearst_judge_one_texoo_style():
+    # boundary styles must not change the score (java:162-165)
+    ref = seg(21, [0, 2, 5, 8, 9, 12, 18])
+    hyp = seg(21, [0, 2, 8, 12, 14, 18])
+    k = calculate_k(ref)
+    assert abs(window_diff(ref, hyp, k) - 0.31578947) < 1e-6
+
+
+def test_wd_hearst_judge_two():
+    ref = seg(21, [0, 3, 11, 13, 17, 19])
+    hyp = seg(21, [0, 2, 8, 12, 14, 18])
+    k = calculate_k(ref)
+    assert abs(window_diff(ref, hyp, k) - 0.42105263) < 1e-6
+
+
 # --- RetrievalEvaluationTest (java:82-200): Wikipedia MRR/P@k examples ---
 
 Q1_PRED = [("d1", 0.9), ("d2", 0.5), ("d3", 0.1)]
