@@ -355,6 +355,21 @@ def q_media_features(spark, sf_dir):
             .select(F.col("media_id").alias("doc_id"), "sha256", "n_bytes"))
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs: each doc paired with a mutated
+    copy (last 2 words dropped) must be rediscovered with its similarity."""
+    from texoo_spark.dedup import ngram_jaccard_pairs
+    docs = (_load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200))
+    words = F.split(F.col("text"), " ")
+    mutated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1))),
+                     " ").alias("text"))
+    both = docs.select("doc_id", "text").unionByName(mutated)
+    return ngram_jaccard_pairs(both, n=3, min_jaccard=0.5)
+
+
 # --- rows-only queries (non-SQL-expressible; pytest-gated semantics) ---
 
 
@@ -469,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "newline_segments": q_newline_segments,
         "max_overlap_token": q_max_overlap_token,
         "media_features": q_media_features,
+        "ngram_jaccard_dups": q_ngram_jaccard,
         # rows-only (non-SQL-expressible)
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
@@ -607,6 +623,30 @@ def oracle_sql() -> dict[str, str]:
         "media_features": (
             "SELECT doc_id, sha256(text) AS sha256,"
             " CAST(length(text) AS BIGINT) AS n_bytes FROM documents"),
+        "ngram_jaccard_dups": (
+            "WITH base AS ("
+            " SELECT doc_id AS id, lower(text) AS text FROM documents"
+            "  WHERE doc_id < 200"
+            " UNION ALL"
+            " SELECT doc_id + 1000000 AS id, lower(array_to_string("
+            "  string_split(text, ' ')[1:greatest("
+            "  len(string_split(text, ' ')) - 2, 1)], ' ')) AS text"
+            " FROM documents WHERE doc_id < 200),"
+            " g AS (SELECT id, list_distinct(list_transform("
+            "  range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),"
+            "  i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' ')"
+            " )) AS grams FROM base),"
+            " counts AS (SELECT id, len(grams) AS n_grams FROM g),"
+            " ex AS (SELECT id, unnest(grams) AS gram FROM g),"
+            " shared AS (SELECT l.id AS id_a, r.id AS id_b,"
+            "  COUNT(*) AS shared FROM ex l JOIN ex r"
+            "  ON l.gram = r.gram AND l.id < r.id GROUP BY 1, 2)"
+            " SELECT id_a, id_b, ROUND(shared /"
+            "  CAST(ca.n_grams + cb.n_grams - shared AS DOUBLE), 6) AS jaccard"
+            " FROM shared JOIN counts ca ON ca.id = id_a"
+            " JOIN counts cb ON cb.id = id_b"
+            " WHERE ROUND(shared / CAST(ca.n_grams + cb.n_grams - shared"
+            "  AS DOUBLE), 6) >= 0.5"),
         "quality_scores": (
             f"SELECT doc_id,"
             f" CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,"

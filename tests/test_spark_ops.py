@@ -131,3 +131,21 @@ def test_brute_force_and_ivf_topk(spark):
     approx = [r.vec_id for r in
               ivf_topk(with_cells, cents, q, k=5, probes=4).collect()]
     assert approx == exact  # probes = all cells -> exact
+
+
+def test_ngram_jaccard_pairs(spark):
+    from texoo_spark.dedup import ngram_jaccard_pairs
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+         (2, "completely different words entirely here now"),
+         (3, "the quick brown fox jumps over the lazy dog")],  # exact dup of 0
+        "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, n=3, min_jaccard=0.3).collect()}
+    # exact duplicate: jaccard 1.0
+    assert pairs[(0, 3)] == 1.0
+    # near dup: 9 words -> 7 grams each; 6 shared -> 6/(7+7-6) = 0.75
+    assert pairs[(0, 1)] == 0.75
+    assert pairs[(1, 3)] == 0.75
+    assert (0, 2) not in pairs and (1, 2) not in pairs

@@ -139,3 +139,27 @@ def test_gazetteer_udf_spark(spark):
                                    F.col("tok_begin"), F.col("tok_end")))
            .select(F.size("m.m_begin").alias("n")).collect()[0])
     assert row.n == 8  # MatchingAnnotatorTest.testCaseSensitive
+
+
+def test_lean_extraction_matches_fat(spark, fixture_turns):
+    """EXTRACT_LEAN_SCHEMA output must equal the full output minus tok_text,
+    and tok_text must stay reconstructible as extracted_text[begin:end]."""
+    from texoo_spark.pipeline import extract_turns
+    fat = extract_turns(fixture_turns, lean=False).collect()
+    lean = extract_turns(fixture_turns, lean=True).collect()
+    fat_by_key = {(r.conv_id, r.turn_idx): r for r in fat}
+    assert len(lean) == len(fat)
+    for r in lean:
+        f = fat_by_key[(r.conv_id, r.turn_idx)]
+        assert r.extracted_text == f.extracted_text
+        assert r.n_tokens == f.n_tokens
+        assert r.n_sentences == f.n_sentences
+        assert r.tok_begin == f.tok_begin
+        assert r.tok_end == f.tok_end
+        assert r.sent_begin == f.sent_begin
+        assert r.sent_end == f.sent_end
+        assert r.sent_tok_start == f.sent_tok_start
+        assert r.sent_tok_end == f.sent_tok_end
+        # reconstruction invariant: token surfaces derive from offsets
+        for txt, b, e in zip(f.tok_text, r.tok_begin, r.tok_end):
+            assert r.extracted_text[b:e] == txt

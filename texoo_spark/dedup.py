@@ -134,6 +134,45 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
             .distinct())
 
 
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        min_jaccard: float = 0.5) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity pairs (id_a < id_b, jaccard).
+
+    Plan: distinct n-grams per doc (one JVM-side higher-order-function
+    projection, no Python), self-join on gram, groupBy pair -> shared count,
+    jaccard = shared / (|A| + |B| - shared). Fully SQL-expressible, so it is
+    DuckDB-oracle-verified.
+
+    Scale note: the gram self-join is quadratic in gram frequency — at
+    10^12 rows run minhash_lsh_candidates first and use this operator as the
+    exact verify stage on candidate pairs only (the standard LSH->verify
+    layering, Leskovec et al., Mining of Massive Datasets ch. 3)."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " ")))
+    gdf = df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    counts = gdf.select("id", F.size("grams").alias("n_grams"))
+    exploded = gdf.select("id", F.explode("grams").alias("gram"))
+    shared = (exploded.alias("l")
+              .join(exploded.alias("r"),
+                    (F.col("l.gram") == F.col("r.gram"))
+                    & (F.col("l.id") < F.col("r.id")))
+              .groupBy(F.col("l.id").alias("id_a"),
+                       F.col("r.id").alias("id_b"))
+              .agg(F.count("*").alias("shared")))
+    ca = counts.select(F.col("id").alias("id_a"),
+                       F.col("n_grams").alias("n_a"))
+    cb = counts.select(F.col("id").alias("id_b"),
+                       F.col("n_grams").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (shared.join(ca, "id_a").join(cb, "id_b")
+            .withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= min_jaccard)
+            .select("id_a", "id_b", "jaccard"))
+
+
 def jaccard(text_a: str, text_b: str, shingle_k: int = 5) -> float:
     a, b = _shingles(text_a, shingle_k), _shingles(text_b, shingle_k)
     if not a and not b:

@@ -7,12 +7,13 @@ rows, looping in-interpreter over short strings with compiled regexes.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 from texoo_spark import textops
-from texoo_spark.schema import EXTRACT_SCHEMA
+from texoo_spark.schema import EXTRACT_LEAN_SCHEMA, EXTRACT_SCHEMA
 
 
 def _extract_batch(texts: pd.Series, newlines: str) -> pd.DataFrame:
@@ -53,6 +54,43 @@ def extract_udf(newlines: str = textops.DISCARD):
     return extract_keep_udf if newlines == textops.KEEP else extract_discard_udf
 
 
+def _extract_batch_lean(texts, newlines: str) -> pd.DataFrame:
+    """Lean batch builder: no tok_text column (reconstructible from
+    extracted_text + offsets), int32 numpy offset arrays for cheap Arrow
+    conversion. This is the bulk-pipeline hot path."""
+    n = len(texts)
+    extracted = [None] * n
+    n_sent = np.empty(n, dtype=np.int32)
+    n_tok = np.empty(n, dtype=np.int32)
+    cols = {k: [None] * n for k in ("tok_begin", "tok_end", "sent_begin",
+                                    "sent_end", "sent_tok_start",
+                                    "sent_tok_end")}
+    extract = textops.extract_arrays
+    for i, text in enumerate(texts):
+        tok_texts, begins, ends, sents, ext = extract(
+            text if text is not None else "", newlines)
+        extracted[i] = ext
+        n_sent[i] = len(sents)
+        n_tok[i] = len(tok_texts)
+        cols["tok_begin"][i] = np.asarray(begins, dtype=np.int32)
+        cols["tok_end"][i] = np.asarray(ends, dtype=np.int32)
+        if sents:
+            sa = np.asarray(sents, dtype=np.int32)
+            cols["sent_begin"][i] = sa[:, 0]
+            cols["sent_end"][i] = sa[:, 1]
+            cols["sent_tok_start"][i] = sa[:, 2]
+            cols["sent_tok_end"][i] = sa[:, 3]
+        else:
+            empty = np.empty(0, dtype=np.int32)
+            for k in ("sent_begin", "sent_end", "sent_tok_start",
+                      "sent_tok_end"):
+                cols[k][i] = empty
+    out = {"extracted_text": extracted, "n_sentences": n_sent,
+           "n_tokens": n_tok}
+    out.update(cols)
+    return pd.DataFrame(out, copy=False)
+
+
 def _pipeline_batch(texts: pd.Series, newlines: str) -> pd.DataFrame:
     """HTML-strip (when the turn looks like markup) + segmentation in ONE
     Python hop — avoids a second ArrowEvalPython round-trip per batch."""
@@ -75,6 +113,28 @@ def pipeline_discard_udf(texts: pd.Series) -> pd.DataFrame:
 
 def pipeline_udf(newlines: str = textops.DISCARD):
     return pipeline_keep_udf if newlines == textops.KEEP else pipeline_discard_udf
+
+
+def _clean_html(texts) -> list:
+    from texoo_spark.html import looks_like_html, strip_html
+    return [strip_html(t)["main_text"] if t and looks_like_html(t)
+            else (t or "") for t in texts]
+
+
+@pandas_udf(EXTRACT_LEAN_SCHEMA)
+def pipeline_lean_keep_udf(texts: pd.Series) -> pd.DataFrame:
+    return _extract_batch_lean(_clean_html(texts), textops.KEEP)
+
+
+@pandas_udf(EXTRACT_LEAN_SCHEMA)
+def pipeline_lean_discard_udf(texts: pd.Series) -> pd.DataFrame:
+    return _extract_batch_lean(_clean_html(texts), textops.DISCARD)
+
+
+def pipeline_lean_udf(newlines: str = textops.DISCARD):
+    """HTML-strip + segmentation in one hop, lean output (no tok_text)."""
+    return (pipeline_lean_keep_udf if newlines == textops.KEEP
+            else pipeline_lean_discard_udf)
 
 
 @pandas_udf(StringType())

@@ -44,15 +44,26 @@ def with_part_id(df: DataFrame, n_buckets: int,
 
 
 def extract_turns(df: DataFrame, newlines: str = textops.DISCARD,
-                  strip_html_first: bool = True) -> DataFrame:
+                  strip_html_first: bool = True,
+                  lean: bool = False) -> DataFrame:
     """text -> (extracted_text, token/sentence offset arrays) per turn.
 
     When strip_html_first is set, HTML-looking turns are boilerplate-stripped
     before segmentation inside the SAME pandas UDF (one ArrowEvalPython
     node, one Arrow round-trip per batch); extraction offsets are relative
-    to the cleaned text, which IS the extracted-text contract."""
-    from texoo_spark.extract import pipeline_udf
-    udf = pipeline_udf(newlines) if strip_html_first else extract_udf(newlines)
+    to the cleaned text, which IS the extracted-text contract.
+
+    lean=True drops the tok_text array from the UDF output (it is always
+    extracted_text[tok_begin:tok_end] by the reconstruction invariant),
+    halving Arrow transfer + downstream sort/write bytes — use for bulk
+    jobs whose sink does not store token surfaces."""
+    from texoo_spark.extract import pipeline_lean_udf, pipeline_udf
+    if lean and strip_html_first:
+        udf = pipeline_lean_udf(newlines)
+    elif strip_html_first:
+        udf = pipeline_udf(newlines)
+    else:
+        udf = extract_udf(newlines)
     return (df
             .withColumn("doc", udf(F.col("text")))
             .select("*", "doc.*")

@@ -39,6 +39,22 @@ EXTRACT_SCHEMA = StructType([
     StructField("sent_tok_end", ArrayType(IntegerType())),
 ])
 
+# Lean extraction result for the bulk pipeline: token texts are NOT shipped
+# (tok_text[i] == extracted_text[tok_begin[i]:tok_end[i]] by the
+# reconstruction invariant, WordHelpers.java:113-137), which cuts the Arrow
+# transfer + sort + parquet write volume roughly in half at ~55 tokens/turn.
+EXTRACT_LEAN_SCHEMA = StructType([
+    StructField("extracted_text", StringType()),
+    StructField("n_sentences", IntegerType()),
+    StructField("n_tokens", IntegerType()),
+    StructField("tok_begin", ArrayType(IntegerType())),
+    StructField("tok_end", ArrayType(IntegerType())),
+    StructField("sent_begin", ArrayType(IntegerType())),
+    StructField("sent_end", ArrayType(IntegerType())),
+    StructField("sent_tok_start", ArrayType(IntegerType())),
+    StructField("sent_tok_end", ArrayType(IntegerType())),
+])
+
 # Long-format typed spans per turn (Annotation + subtypes; SURVEY.md §1.5).
 SPAN_SCHEMA = StructType([
     StructField("conv_id", StringType()),
