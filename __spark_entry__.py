@@ -370,6 +370,48 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(both, n=3, min_jaccard=0.5)
 
 
+def q_bm25_scores(spark, sf_dir):
+    """Distributed BM25 retrieval (Lucene PassageIndex/DocumentIndex
+    equivalent): score docs against 5 queries built from doc prefixes."""
+    from texoo_spark.retrieval import bm25_scores
+    docs = _load(spark, sf_dir, "documents")
+    queries = (docs.filter(F.col("doc_id") < 5)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.array_join(F.slice(F.split(F.col("text"), " "),
+                                            1, 3), " ").alias("query_text")))
+    return (bm25_scores(docs, queries)
+            .select("query_id", "doc_id",
+                    F.round(F.col("score"), 3).alias("score")))
+
+
+def q_pdf_layout(spark, sf_dir):
+    """PDF layout reconstruction: a deterministic word-box table (3 lines
+    x 4 words, paragraph gap before line 3) -> reading-order text via
+    groupBy(doc).applyInPandas over pdfops.layout_text."""
+    from texoo_spark.pdfops import WordBox, layout_text
+    docs = _load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    boxes = (docs.filter(F.size(words) >= 12)
+             .select("doc_id",
+                     F.posexplode(F.slice(words, 1, 12)).alias("i", "w"))
+             .withColumn("x0", (F.col("i") % 4) * 50.0)
+             .withColumn("x1", F.col("x0") + 48.0)
+             .withColumn("line", F.floor(F.col("i") / 4))
+             .withColumn("y0", F.when(F.col("line") < 2,
+                                      F.col("line") * 12.0).otherwise(44.0))
+             .withColumn("y1", F.col("y0") + 10.0))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("i")
+        wb = [WordBox(0, r.x0, r.y0, r.x1, r.y1, r.w)
+              for r in pdf.itertuples()]
+        return pd.DataFrame({"doc_id": [pdf["doc_id"].iloc[0]],
+                             "layout_text": [layout_text(wb)]})
+
+    return (boxes.groupBy("doc_id")
+            .applyInPandas(run, "doc_id long, layout_text string"))
+
+
 # --- rows-only queries (non-SQL-expressible; pytest-gated semantics) ---
 
 
@@ -485,6 +527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_overlap_token": q_max_overlap_token,
         "media_features": q_media_features,
         "ngram_jaccard_dups": q_ngram_jaccard,
+        "bm25_scores": q_bm25_scores,
+        "pdf_layout": q_pdf_layout,
         # rows-only (non-SQL-expressible)
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
@@ -647,6 +691,41 @@ def oracle_sql() -> dict[str, str]:
             " JOIN counts cb ON cb.id = id_b"
             " WHERE ROUND(shared / CAST(ca.n_grams + cb.n_grams - shared"
             "  AS DOUBLE), 6) >= 0.5"),
+        "bm25_scores": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "  string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))"
+            "  AS term FROM documents),"
+            " postings AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks"
+            "  GROUP BY 1, 2),"
+            " dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df"
+            "  FROM postings GROUP BY 1),"
+            " doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),"
+            " stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl"
+            "  FROM doclen),"
+            " q AS (SELECT doc_id AS query_id, array_to_string("
+            "  string_split(text, ' ')[1:3], ' ') AS qtext FROM documents"
+            "  WHERE doc_id < 5),"
+            " qterms AS (SELECT query_id, unnest(list_distinct(list_filter("
+            "  string_split_regex(lower(qtext), '[^a-z0-9]+'),"
+            "  t -> t <> ''))) AS term FROM q)"
+            " SELECT query_id, p.doc_id, ROUND(SUM("
+            "  ln(1 + (s.n_docs - df + 0.5) / (df + 0.5))"
+            "  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / s.avgdl))"
+            " ), 3) AS score"
+            " FROM postings p JOIN qterms USING (term)"
+            " JOIN dfreq USING (term)"
+            " JOIN doclen dle ON dle.doc_id = p.doc_id"
+            " CROSS JOIN stats s"
+            " GROUP BY query_id, p.doc_id"),
+        "pdf_layout": (
+            # lines 1-2 gap = 2, line 3 gap = 22 > 1.8 x median(2) ->
+            # paragraph break before word 9 (pdfops._paragraphs semantics)
+            "SELECT doc_id,"
+            " array_to_string(string_split(text, ' ')[1:8], ' ')"
+            " || chr(10) ||"
+            " array_to_string(string_split(text, ' ')[9:12], ' ')"
+            " AS layout_text FROM documents"
+            " WHERE len(string_split(text, ' ')) >= 12"),
         "quality_scores": (
             f"SELECT doc_id,"
             f" CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,"

@@ -66,3 +66,21 @@ def test_gazetteer_matches_wholestage_codegen(spark):
     import __spark_entry__ as e
     plan = plan_of(e.q_gazetteer_matches(spark, SF))
     assert "*(" in plan  # '*(n)' marks whole-stage-codegen spans
+
+
+def test_bm25_broadcasts_query_side(spark):
+    import __spark_entry__ as e
+    plan = plan_of(e.q_bm25_scores(spark, SF))
+    # query terms + df table broadcast; postings never a broadcast side
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial aggs survive
+
+
+def test_lean_extraction_single_python_hop(spark):
+    from texoo_spark.pipeline import extract_turns
+    df = spark.createDataFrame(
+        [("c", 0, "user", "text here", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string")
+    plan = plan_of(extract_turns(df, lean=True))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "tok_text" not in plan  # lean schema never materializes surfaces

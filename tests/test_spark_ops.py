@@ -149,3 +149,24 @@ def test_ngram_jaccard_pairs(spark):
     assert pairs[(0, 1)] == 0.75
     assert pairs[(1, 3)] == 0.75
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_bm25_topk_golden(spark):
+    """Hand-computed BM25 (k1=1.2, b=0.75, Robertson/Lucene idf):
+    N=3, avgdl=3; idf(apple)=ln(8/3), idf(cherry)=ln(1.6)."""
+    from texoo_spark.retrieval import bm25_topk
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple"),
+         (1, "banana cherry"),
+         (2, "cherry cherry cherry durian")],
+        "doc_id long, text string")
+    queries = spark.createDataFrame([(0, "apple cherry")],
+                                    "query_id long, query_text string")
+    rows = bm25_topk(docs, queries, k=3).collect()
+    got = {(r.query_id, r.doc_id): (r.rank, round(r.score, 4)) for r in rows}
+    # d0: ln(8/3) * 2*2.2/(2+1.2*1.0)            = 1.3486
+    # d2: ln(1.6) * 3*2.2/(3+1.2*(0.25+0.75*4/3)) = 0.6893
+    # d1: ln(1.6) * 2.2/(1+1.2*(0.25+0.75*2/3))   = 0.5442
+    assert got[(0, 0)] == (1, 1.3486)
+    assert got[(0, 2)] == (2, 0.6893)
+    assert got[(0, 1)] == (3, 0.5442)

@@ -118,16 +118,17 @@ def main() -> None:
               "normalized_efficiency": round(eff / hw["ceiling"], 3)}
     print(json.dumps(result))
 
+    import bench
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — extraction throughput & scaling efficiency
 
 Job (identical at both sizes): read transcript parquet
 ({large['n_turns']:,} turns derived from {SF_DIR}, deterministic, generated
-once on disk) -> pmod(hash(conv_id), {BUCKETS}) bucketing with turn-block
-salting (salt 32) -> repartition({BUCKETS}, part_id) -> fused HTML-strip +
-sentence/token segmentation pandas UDF -> sortWithinPartitions(conv_id,
-turn_idx) -> parquet write. Fresh JVM per size; warm-up excluded;
+once on disk, clustered into {bench.BUCKETS} pmod(hash(conv_id)) buckets
+with turn-block salting at ingest) -> stable sortWithinPartitions(conv_id,
+turn_idx) on the slim input rows -> fused HTML-strip + sentence/token
+segmentation pandas UDF (lean schema, no tok_text) -> parquet write. Fresh JVM per size; warm-up excluded;
 {RUNS} timed runs; medians.
 
 | parallelism | runs (sec) | median (sec) | turns/sec |
