@@ -65,13 +65,13 @@ def _extract_batch_lean(texts, newlines: str) -> pd.DataFrame:
     cols = {k: [None] * n for k in ("tok_begin", "tok_end", "sent_begin",
                                     "sent_end", "sent_tok_start",
                                     "sent_tok_end")}
-    extract = textops.extract_arrays
+    extract = textops.extract_arrays_lean
     for i, text in enumerate(texts):
-        tok_texts, begins, ends, sents, ext = extract(
+        _, begins, ends, sents, ext = extract(
             text if text is not None else "", newlines)
         extracted[i] = ext
         n_sent[i] = len(sents)
-        n_tok[i] = len(tok_texts)
+        n_tok[i] = len(begins)
         cols["tok_begin"][i] = np.asarray(begins, dtype=np.int32)
         cols["tok_end"][i] = np.asarray(ends, dtype=np.int32)
         if sents:

@@ -138,14 +138,34 @@ def _is_decimal_edge(tok: str, dot: int) -> bool:
             and tok[dot - 1].isdigit() and tok[dot + 1].isdigit())
 
 
+# Single-pass scanner fast path: alternative 1 is an ASCII-alnum run that is
+# a COMPLETE pre-token (atomic group + boundary lookahead prevents matching a
+# prefix of a mixed run like "don't"), alternative 2 a forced single-char
+# token, alternative 3 (captured) any other pre-token run, which goes through
+# _refine_token. Semantically identical to pre_tokenize + refine, but the
+# dominant all-alphanumeric case allocates no substring and makes no call.
+_TOKSCAN = re.compile(
+    r'(?>[A-Za-z0-9]+)(?=[\s"()\[\]{}]|\Z)'
+    r'|[\n"()\[\]{}]'
+    r'|([^\s"()\[\]{}]+)')
+
+
 def tokenize_pos(text: str) -> list[tuple[int, int]]:
     """Full tokenization of a sentence string -> (begin, end) spans.
 
     Mirrors TokenizerMENL.tokenizePosWithNewline (stage a + refinement).
     """
     out: list[tuple[int, int]] = []
-    for b, e in pre_tokenize(text):
-        _refine_token(text[b:e], b, out)
+    append = out.append
+    abbrevs = ABBREVIATIONS
+    for m in _TOKSCAN.finditer(text):
+        tok = m.group(1)
+        if tok is None:
+            append(m.span())
+        elif len(tok) < 2 or tok.isalnum() or tok in abbrevs:
+            append(m.span())
+        else:
+            _refine_token(tok, m.start(), out)
     return out
 
 
@@ -291,6 +311,53 @@ def sent_pos_detect(s: str) -> list[tuple[int, int]]:
 KEEP = "KEEP"
 DISCARD = "DISCARD"
 
+# any whitespace char that is not a plain ASCII space (incl. NBSP,  ...)
+_NONSPACE_WS = re.compile(r"[^\S ]")
+
+
+def tokenize_pos_range(text: str, sb: int, se: int,
+                       begins: list[int], ends: list[int]) -> None:
+    """tokenize_pos over text[sb:se] appending spans in DOC coordinates,
+    without allocating the sentence substring (re pos/endpos scanning).
+    Only exercised on text with no newline/tab/NBSP (the lean fast path),
+    so the forced-\\n-single alternative never fires here."""
+    abbrevs = ABBREVIATIONS
+    for m in _TOKSCAN.finditer(text, sb, se):
+        tok = m.group(1)
+        if (tok is None or len(tok) < 2 or tok.isalnum()
+                or tok in abbrevs):
+            begins.append(m.start())
+            ends.append(m.end())
+        else:
+            out: list[tuple[int, int]] = []
+            _refine_token(tok, m.start(), out)
+            for b, e in out:
+                begins.append(b)
+                ends.append(e)
+
+
+def extract_arrays_lean(text: str, newlines: str = DISCARD):
+    """extract_arrays variant for sinks that do not store token surfaces:
+    returns (None, begins, ends, sentences, extracted) with begins/ends/
+    sentences/extracted IDENTICAL to extract_arrays, skipping all per-token
+    substring allocation. Falls back to the full routine when the text
+    contains newline/tab/NBSP (where KEEP/DISCARD offset algebra applies)."""
+    if _NONSPACE_WS.search(text) is not None:
+        return extract_arrays(text, newlines)
+    begins: list[int] = []
+    ends: list[int] = []
+    sentences: list[tuple[int, int, int, int]] = []
+    for sb, se in sent_pos_detect(text):
+        tok_start = len(begins)
+        tokenize_pos_range(text, sb, se, begins, ends)
+        n = len(begins)
+        if n > tok_start:
+            sentences.append((begins[tok_start], ends[-1], tok_start, n))
+        else:
+            sentences.append((0, 0, tok_start, tok_start))
+    extracted = text[begins[0]:ends[-1]] if begins else ""
+    return None, begins, ends, sentences, extracted
+
 
 def extract_arrays(text: str, newlines: str = DISCARD,
                    doc_offset: int = 0):
@@ -337,8 +404,15 @@ def extract_arrays(text: str, newlines: str = DISCARD,
             sentences.append((begins[tok_start], ends[-1], tok_start, n))
         else:
             sentences.append((0, 0, tok_start, tok_start))
-    extracted = _arrays_to_text(texts, begins, ends,
-                                begins[0] if begins else 0)
+    # reconstruction fast path: with no whitespace other than plain spaces
+    # (tabs/newlines/NBSP would be emitted as ' ' and shift nothing here),
+    # offsets are faithful to the input, so the reconstruction is exactly
+    # the input slice covering [first token begin, last token end).
+    if begins and doc_offset == 0 and _NONSPACE_WS.search(text) is None:
+        extracted = text[begins[0]:ends[-1]]
+    else:
+        extracted = _arrays_to_text(texts, begins, ends,
+                                    begins[0] if begins else 0)
     return texts, begins, ends, sentences, extracted
 
 
