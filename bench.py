@@ -66,20 +66,19 @@ def run_extraction_job(spark, input_path: str, out_path: str,
     """The timed batch job: read (pre-clustered by part_id, no shuffle) ->
     fused HTML-strip + segmentation UDF -> stable (conv_id, turn_idx) sort
     within partitions -> partitioned parquet write."""
-    from texoo_spark.pipeline import extract_turns
     if os.path.exists(out_path):
         shutil.rmtree(out_path)
+    from texoo_spark.arrow_extract import extract_turns_arrow
     t0 = time.perf_counter()
     turns = spark.read.parquet(input_path)
     # stable (conv_id, turn_idx) order is established BEFORE the extraction
-    # UDF: the UDF is a row-wise projection (ArrowEvalPython preserves row
-    # order within a partition), so sorting the slim input rows (~400B) costs
-    # far less than sorting post-extraction rows carrying offset arrays.
+    # UDF: mapInArrow is an order-preserving per-partition map, so sorting
+    # the slim input rows (~400B) costs far less than sorting
+    # post-extraction rows carrying offset arrays.
     # plain write with part_id as a leading column: the files stay clustered
     # by bucket (row-group stats prune part_id predicates) without the
     # dynamic-partition writer's per-task sort + file-fanout overhead
-    (extract_turns(turns.sortWithinPartitions("conv_id", "turn_idx"),
-                   lean=True)
+    (extract_turns_arrow(turns.sortWithinPartitions("conv_id", "turn_idx"))
      .select(*OUT_COLUMNS)
      .write.mode("overwrite").parquet(out_path))
     return time.perf_counter() - t0

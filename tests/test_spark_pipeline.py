@@ -163,3 +163,41 @@ def test_lean_extraction_matches_fat(spark, fixture_turns):
         # reconstruction invariant: token surfaces derive from offsets
         for txt, b, e in zip(f.tok_text, r.tok_begin, r.tok_end):
             assert r.extracted_text[b:e] == txt
+
+
+def test_arrow_lane_matches_pandas_lane(spark, fixture_turns):
+    """mapInArrow hot lane output must equal extract_turns(lean=True) on the
+    reference fixture strings, row for row, including order preservation."""
+    from pyspark.sql import functions as F
+    from texoo_spark.arrow_extract import extract_turns_arrow
+    from texoo_spark.pipeline import extract_turns, with_part_id
+    src = (with_part_id(fixture_turns, n_buckets=4, salt_buckets=2)
+           .withColumn("ts", F.lit(None).cast("timestamp")))
+    pandas_rows = {(r.conv_id, r.turn_idx): r
+                   for r in extract_turns(src, lean=True).collect()}
+    arrow_rows = extract_turns_arrow(
+        src.sortWithinPartitions("conv_id", "turn_idx")).collect()
+    assert len(arrow_rows) == len(pandas_rows)
+    for r in arrow_rows:
+        p = pandas_rows[(r.conv_id, r.turn_idx)]
+        assert r.extracted_text == p.extracted_text
+        assert r.n_tokens == p.n_tokens and r.n_sentences == p.n_sentences
+        assert r.tok_begin == p.tok_begin and r.tok_end == p.tok_end
+        assert r.sent_begin == p.sent_begin and r.sent_end == p.sent_end
+        assert (r.sent_tok_start == p.sent_tok_start
+                and r.sent_tok_end == p.sent_tok_end)
+
+
+def test_run_extraction_arrow_lane(spark, fixture_turns, tmp_path_factory):
+    from pyspark.sql import functions as F
+    from texoo_spark.pipeline import run_extraction
+    out = str(tmp_path_factory.mktemp("arrow_lane"))
+    inp = str(tmp_path_factory.mktemp("arrow_in")) + "/turns"
+    (fixture_turns.withColumn("ts", F.lit(None).cast("timestamp"))
+     .write.parquet(inp))
+    s1 = run_extraction(spark, inp, out, n_buckets=4, salt_buckets=2,
+                        use_arrow=True)
+    assert s1["n_turns"] == fixture_turns.count()
+    s2 = run_extraction(spark, inp, out, n_buckets=4, salt_buckets=2,
+                        use_arrow=True)
+    assert s2["processed_parts"] == 0 and s2["skipped_parts"] >= 1

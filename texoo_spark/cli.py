@@ -28,6 +28,9 @@ def main(argv: list[str] | None = None) -> None:
                    default="DISCARD")
     p.add_argument("--no-resume", action="store_true",
                    help="reprocess all partitions even if manifested")
+    p.add_argument("--arrow", action="store_true",
+                   help="mapInArrow hot lane: no token surfaces stored "
+                        "(reconstruct via extracted_text[tok_begin:tok_end])")
     p.add_argument("--master", default=None,
                    help="override master (defaults to spark-submit's)")
     args = p.parse_args(argv)
@@ -43,7 +46,8 @@ def main(argv: list[str] | None = None) -> None:
     summary = run_extraction(
         spark, args.input, args.output,
         n_buckets=args.buckets, salt_buckets=args.salt_buckets,
-        newlines=args.newlines, resume=not args.no_resume)
+        newlines=args.newlines, resume=not args.no_resume,
+        use_arrow=args.arrow)
     print(json.dumps(summary))
 
 

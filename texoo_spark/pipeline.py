@@ -74,7 +74,8 @@ def run_extraction(spark: SparkSession, input_path: str, output_dir: str,
                    n_buckets: int = 64, salt_buckets: int = 4,
                    newlines: str = textops.DISCARD,
                    resume: bool = True,
-                   write_spans: bool = True) -> dict:
+                   write_spans: bool = True,
+                   use_arrow: bool = False) -> dict:
     """Batch extraction with checkpointed partition manifests.
 
     Outputs (BASELINE north_rule): <out>/turns (extracted text + offset
@@ -106,10 +107,17 @@ def run_extraction(spark: SparkSession, input_path: str, output_dir: str,
     if not pending_ids:
         return {"processed_parts": 0, "skipped_parts": len(done), "n_turns": 0}
 
-    extracted = (extract_turns(
-                    df.repartition(max(len(pending_ids), 1), "part_id"),
-                    newlines=newlines)
-                 .sortWithinPartitions("conv_id", "turn_idx"))
+    clustered = df.repartition(max(len(pending_ids), 1), "part_id")
+    if use_arrow:
+        # hot lane: order established on slim rows, mapInArrow preserves it;
+        # token surfaces not stored (extracted_text[tok_begin:tok_end])
+        from texoo_spark.arrow_extract import extract_turns_arrow
+        extracted = extract_turns_arrow(
+            clustered.sortWithinPartitions("conv_id", "turn_idx"),
+            newlines=newlines)
+    else:
+        extracted = (extract_turns(clustered, newlines=newlines)
+                     .sortWithinPartitions("conv_id", "turn_idx"))
 
     # clustered plain write: rows arrive grouped by part_id (repartition
     # above), so parquet row-group stats prune part_id predicates on read

@@ -26,7 +26,12 @@ def get_spark(app_name: str = "texoo-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 40k-row Arrow batches amortize per-batch Python dispatch; still
+        # ~15MB/batch at our row sizes, well inside executor memory
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "40000")
+        # zstd: smaller AND faster end-to-end than snappy for this output
+        # (134 vs 219 MiB per 1M turns; write overlaps the Python stage)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # turn texts are small; keep scan partitions sized for executor memory
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "33554432")

@@ -99,10 +99,16 @@ def mp_ceiling() -> dict:
 
 
 def _mp_work(texts) -> int:
+    """Mirror the Spark job's per-row Python work (lean extraction + HTML
+    gate) so the ceiling measures the same workload the executors run."""
     sys.path.insert(0, "/root/repo")
-    from texoo_spark.textops import DISCARD, extract_document
+    from texoo_spark.html import looks_like_html, strip_html
+    from texoo_spark.textops import DISCARD, extract_arrays_lean
     for t in texts:
-        extract_document(t, DISCARD)
+        t = t or ""
+        if looks_like_html(t):
+            t = strip_html(t)["main_text"]
+        extract_arrays_lean(t, DISCARD)
     return len(texts)
 
 
