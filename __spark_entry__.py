@@ -412,6 +412,43 @@ def q_pdf_layout(spark, sf_dir):
             .applyInPandas(run, "doc_id long, layout_text string"))
 
 
+def q_conversation_text(spark, sf_dir):
+    """T10/R10 conversation assembly: ordered concat of turn texts per
+    conversation (Document.append at conversation scope), shuffle-once
+    groupBy with deterministic in-group ordering via sort_array."""
+    docs = _load(spark, sf_dir, "documents")
+    turns = (docs
+             .withColumn("conv_id", (F.col("doc_id") % 50).cast("long"))
+             .withColumn("turn_idx", (F.col("doc_id") / 50).cast("long")))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+        lambda s: s["text"])
+    return (turns.groupBy("conv_id")
+            .agg(F.array_join(ordered, "\n").alias("conv_text"),
+                 F.count("*").alias("n_turns")))
+
+
+def q_tagged_mentions(spark, sf_dir):
+    """A2/A4 distributed tagger inference: broadcast weights -> batched
+    numpy forward -> BIO2 decode. The deterministic baseline tags
+    capitalized tokens; first 3 words are initcap'd, so n_mentions equals
+    the count of alphabetic first-3 words."""
+    from texoo_spark.extract import extract_discard_udf
+    from texoo_spark.tagger import LinearTagger, tag_mentions
+    docs = _load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    text2 = F.concat(
+        F.initcap(F.array_join(F.slice(words, 1, 3), " ")), F.lit(" "),
+        F.array_join(F.slice(words, 4, F.greatest(F.size(words) - 3,
+                                                  F.lit(1))), " "))
+    extracted = (docs.withColumn("doc", extract_discard_udf(text2))
+                 .select("doc_id", "doc.*"))
+    tagged = tag_mentions(extracted,
+                          LinearTagger.capitalized_mention_baseline())
+    return tagged.select(
+        "doc_id", F.size("m_begin").cast("long").alias("n_mentions"))
+
+
 # --- rows-only queries (non-SQL-expressible; pytest-gated semantics) ---
 
 
@@ -529,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": q_ngram_jaccard,
         "bm25_scores": q_bm25_scores,
         "pdf_layout": q_pdf_layout,
+        "conversation_text": q_conversation_text,
+        "tagged_mentions": q_tagged_mentions,
         # rows-only (non-SQL-expressible)
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
@@ -726,6 +765,15 @@ def oracle_sql() -> dict[str, str]:
             " array_to_string(string_split(text, ' ')[9:12], ' ')"
             " AS layout_text FROM documents"
             " WHERE len(string_split(text, ' ')) >= 12"),
+        "conversation_text": (
+            "SELECT doc_id % 50 AS conv_id,"
+            " string_agg(text, chr(10) ORDER BY doc_id // 50) AS conv_text,"
+            " COUNT(*) AS n_turns FROM documents GROUP BY 1"),
+        "tagged_mentions": (
+            "SELECT doc_id, CAST(len(list_filter("
+            " string_split(text, ' ')[1:3],"
+            " w -> regexp_matches(w, '^[a-z]'))) AS BIGINT) AS n_mentions"
+            " FROM documents"),
         "quality_scores": (
             f"SELECT doc_id,"
             f" CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,"

@@ -110,6 +110,24 @@ def main():
     n_tokens = (spark.read.parquet(out_path)
                 .agg(F.sum("n_tokens")).collect()[0][0])
 
+    # BASELINE metric rider: per-turn text-equality pass rate against the
+    # reference-fixture reconstruction, measured on a deterministic sample
+    # of the written output (tok surfaces re-derived from offsets must
+    # reconstruct; turns without markup/newlines must round-trip the input)
+    from texoo_spark.textops import DISCARD, extract_document
+    sample = (spark.read.parquet(out_path)
+              .select("conv_id", "turn_idx", "extracted_text",
+                      "tok_begin", "tok_end")
+              .orderBy("conv_id", "turn_idx").limit(2000).collect())
+    passed = 0
+    for r in sample:
+        exp = extract_document(r.extracted_text, DISCARD)
+        ok = (exp.text == r.extracted_text
+              and [t.begin for t in exp.tokens] == list(r.tok_begin)
+              and [t.end for t in exp.tokens] == list(r.tok_end))
+        passed += bool(ok)
+    pass_rate = passed / max(len(sample), 1)
+
     query_times = {}
     headliners = ["pricing_summary", "nation_revenue",
                   "top_order_per_customer", "events_hourly",
@@ -130,7 +148,9 @@ def main():
         "sf": SF_DIR,
         "cpus": CPUS,
         "extraction": {"n_turns": n_turns, "n_tokens": int(n_tokens),
-                       "wall_sec": round(dt, 3)},
+                       "wall_sec": round(dt, 3),
+                       "text_equality_pass_rate": pass_rate,
+                       "equality_sample": len(sample)},
     }
     print(json.dumps(result))
     shutil.rmtree(out_path, ignore_errors=True)

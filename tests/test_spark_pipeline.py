@@ -201,3 +201,28 @@ def test_run_extraction_arrow_lane(spark, fixture_turns, tmp_path_factory):
     s2 = run_extraction(spark, inp, out, n_buckets=4, salt_buckets=2,
                         use_arrow=True)
     assert s2["processed_parts"] == 0 and s2["skipped_parts"] >= 1
+
+
+def test_salting_spreads_skewed_conversation(spark):
+    """A single long conversation must spread over salt_buckets partitions
+    in contiguous 64-turn blocks (skew bound), while short conversations
+    stay in one bucket (locality)."""
+    from pyspark.sql import functions as F
+    from texoo_spark.pipeline import with_part_id
+    rows = ([("conv-long", i) for i in range(1000)]
+            + [("conv-short", i) for i in range(10)])
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    parts = (with_part_id(df, n_buckets=32, salt_buckets=4)
+             .groupBy("conv_id")
+             .agg(F.countDistinct("part_id").alias("n_parts"))
+             .collect())
+    got = {r.conv_id: r.n_parts for r in parts}
+    assert got["conv-long"] == 4      # bounded spread, not 1, not 32
+    assert got["conv-short"] == 1     # short conv keeps locality
+    # block contiguity: every 64-turn block lands in exactly one part
+    blocks = (with_part_id(df, n_buckets=32, salt_buckets=4)
+              .filter(F.col("conv_id") == "conv-long")
+              .groupBy(F.floor(F.col("turn_idx") / 64).alias("block"))
+              .agg(F.countDistinct("part_id").alias("p"))
+              .collect())
+    assert all(r.p == 1 for r in blocks)
