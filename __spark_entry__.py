@@ -512,26 +512,27 @@ def q_ivf_knn(spark, sf_dir):
 
 
 def q_bemd_segments(spark, sf_dir):
-    """A9-A11 embedding-deviation segmentation over the embeddings table
-    treated as one document's sentence embeddings."""
+    """A9-A11 embedding-deviation segmentation, one document per label
+    group: groupBy(label).applyInPandas keeps every group on one executor
+    while groups distribute across the cluster (the scale-correct shape —
+    never a coalesce(1))."""
     import numpy as np
-    import pandas as pd
     from texoo_spark.segment import segment_emd
     emb = _load(spark, sf_dir, "embeddings")
 
-    def run(pdf_iter):
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("vec_id")
-            mat = np.array([np.asarray(v, dtype=np.float32)
-                            for v in pdf["embedding"]])
-            segs = segment_emd(mat)
-            yield pd.DataFrame({
-                "seg_idx": range(len(segs)),
-                "sent_begin": [s for s, _ in segs],
-                "sent_end": [e for _, e in segs]})
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        mat = np.array([np.asarray(v, dtype=np.float32)
+                        for v in pdf["embedding"]])
+        segs = segment_emd(mat)
+        return pd.DataFrame({
+            "label": pdf["label"].iloc[0],
+            "seg_idx": range(len(segs)),
+            "sent_begin": [s for s, _ in segs],
+            "sent_end": [e for _, e in segs]})
 
-    return (emb.coalesce(1)
-            .mapInPandas(run, "seg_idx long, sent_begin long, sent_end long"))
+    return (emb.groupBy("label").applyInPandas(
+        run, "label int, seg_idx long, sent_begin long, sent_end long"))
 
 
 def q_fingerprints(spark, sf_dir):
