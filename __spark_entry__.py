@@ -449,6 +449,41 @@ def q_tagged_mentions(spark, sf_dir):
         "doc_id", F.size("m_begin").cast("long").alias("n_mentions"))
 
 
+def q_tokens_in_range(spark, sf_dir):
+    """R2 range query: tokens in [10, 40) per doc under BOTH reference
+    semantics — enclosed and boundary-expanding (Document.java:156-174) —
+    as JVM-side higher-order functions over the offset arrays (no UDF,
+    no shuffle beyond the scan)."""
+    b, e = F.lit(10), F.lit(40)
+    z = F.arrays_zip("tok_begin", "tok_end")
+    enclosed = F.size(F.filter(
+        z, lambda t: (t["tok_begin"] >= b) & (t["tok_end"] <= e)))
+    expand = F.size(F.filter(
+        z, lambda t: ((t["tok_begin"] <= b) & (t["tok_end"] > b))
+        | ((t["tok_begin"] >= b) & (t["tok_end"] <= e))
+        | ((t["tok_begin"] < e) & (t["tok_end"] >= e))))
+    return (_extracted_docs(spark, sf_dir)
+            .select("doc_id", enclosed.cast("long").alias("n_enclosed"),
+                    expand.cast("long").alias("n_expand")))
+
+
+def q_strong_matches(spark, sf_dir):
+    """R5 STRONG annotation matching (same begin AND end,
+    Annotation.java:143-158): gold spans = even-index tokens, pred spans =
+    every-3rd-index tokens; the STRONG equi-join on (doc, begin, end)
+    counts tokens at indices divisible by 6."""
+    toks = (_extracted_docs(spark, sf_dir)
+            .select("doc_id", F.posexplode(
+                F.arrays_zip("tok_begin", "tok_end")).alias("i", "t"))
+            .select("doc_id", "i", F.col("t.tok_begin").alias("begin"),
+                    F.col("t.tok_end").alias("end")))
+    gold = toks.filter(F.col("i") % 2 == 0).select("doc_id", "begin", "end")
+    pred = toks.filter(F.col("i") % 3 == 0).select("doc_id", "begin", "end")
+    return (gold.join(pred, ["doc_id", "begin", "end"])
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_strong")))
+
+
 # --- rows-only queries (non-SQL-expressible; pytest-gated semantics) ---
 
 
@@ -569,6 +604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_layout": q_pdf_layout,
         "conversation_text": q_conversation_text,
         "tagged_mentions": q_tagged_mentions,
+        "tokens_in_range": q_tokens_in_range,
+        "strong_matches": q_strong_matches,
         # rows-only (non-SQL-expressible)
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
@@ -766,6 +803,30 @@ def oracle_sql() -> dict[str, str]:
             " array_to_string(string_split(text, ' ')[9:12], ' ')"
             " AS layout_text FROM documents"
             " WHERE len(string_split(text, ' ')) >= 12"),
+        "tokens_in_range": (
+            "WITH toks AS (SELECT doc_id,"
+            " unnest(string_split(text, ' ')) AS tok,"
+            " unnest(range(1, len(string_split(text, ' ')) + 1)) AS idx"
+            " FROM documents),"
+            " pos AS (SELECT doc_id, idx,"
+            " CAST(COALESCE(SUM(length(tok) + 1) OVER (PARTITION BY doc_id"
+            " ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+            " 0) AS BIGINT) AS b, length(tok) AS l FROM toks)"
+            " SELECT doc_id,"
+            " CAST(SUM(CASE WHEN b >= 10 AND b + l <= 40 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_enclosed,"
+            " CAST(SUM(CASE WHEN (b <= 10 AND b + l > 10)"
+            " OR (b >= 10 AND b + l <= 40)"
+            " OR (b < 40 AND b + l >= 40) THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_expand"
+            " FROM pos GROUP BY doc_id"),
+        "strong_matches": (
+            "WITH toks AS (SELECT doc_id,"
+            " unnest(range(1, len(string_split(text, ' ')) + 1)) AS idx"
+            " FROM documents)"
+            " SELECT doc_id, CAST(SUM(CASE WHEN (idx - 1) % 6 = 0"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_strong"
+            " FROM toks GROUP BY doc_id"),
         "conversation_text": (
             "SELECT doc_id % 50 AS conv_id,"
             " string_agg(text, chr(10) ORDER BY doc_id // 50) AS conv_text,"
