@@ -51,13 +51,15 @@ def entry(spark: SparkSession) -> DataFrame:
     documents table (plain / multi-sentence / newline / HTML turns plus a
     skewed conversation), run HTML strip + segmentation + spans, preserve
     stable (conv_id, turn_idx) ordering."""
-    from texoo_spark.pipeline import extract_turns, with_part_id
+    from texoo_spark.arrow_extract import extract_turns_arrow
+    from texoo_spark.pipeline import with_part_id
     from texoo_spark.transcripts import transcripts_from_documents
 
     docs = _load(spark, SF001, "documents")
-    turns = transcripts_from_documents(docs)
-    out = (extract_turns(with_part_id(turns, n_buckets=16, salt_buckets=4))
-           .sortWithinPartitions("conv_id", "turn_idx")
+    turns = with_part_id(transcripts_from_documents(docs),
+                         n_buckets=16, salt_buckets=4)
+    out = (extract_turns_arrow(
+               turns.sortWithinPartitions("conv_id", "turn_idx"))
            .select("conv_id", "turn_idx", "role", "part_id",
                    "extracted_text", "n_sentences", "n_tokens"))
     return out
@@ -484,6 +486,29 @@ def q_strong_matches(spark, sf_dir):
             .agg(F.count("*").alias("n_strong")))
 
 
+def q_wd_metric(spark, sf_dir):
+    """V3 WindowDiff at k=3 on the embeddings label sequence vs a 1-shifted
+    hypothesis: boundary-count disagreement per sliding window, as a pure
+    window-function plan (SegmentationEvaluation.java:133-170 formula)."""
+    k = 3
+    emb = _load(spark, sf_dir, "embeddings")
+    w = Window.orderBy("vec_id")
+    base = (emb.select("vec_id", F.col("label").alias("ref"))
+            .withColumn("hyp", F.coalesce(F.lag("ref", 1).over(w),
+                                          F.col("ref"))))
+    d = base
+    for j in range(k + 1):
+        d = (d.withColumn(f"r{j}", F.lead("ref", j).over(w))
+             .withColumn(f"h{j}", F.lead("hyp", j).over(w)))
+    sum_ref = sum((F.col(f"r{j}") == F.col(f"r{j+1}")).cast("int")
+                  for j in range(k))
+    sum_hyp = sum((F.col(f"h{j}") == F.col(f"h{j+1}")).cast("int")
+                  for j in range(k))
+    return (d.filter(F.col(f"r{k}").isNotNull())
+            .select((sum_ref != sum_hyp).cast("double").alias("dis"))
+            .agg(F.round(F.avg("dis"), 6).alias("wd")))
+
+
 # --- rows-only queries (non-SQL-expressible; pytest-gated semantics) ---
 
 
@@ -570,6 +595,21 @@ def q_bemd_segments(spark, sf_dir):
         run, "label int, seg_idx long, sent_begin long, sent_end long"))
 
 
+def q_knn_batch(spark, sf_dir):
+    """R6 batch kNN: 5 query vectors scored against the corpus in ONE
+    broadcast-matrix matmul per Arrow batch (float32), window top-5 per
+    query. Rows-only: f32 vs f64 rounding makes rank membership
+    engine-sensitive; single-query exactness is covered by knn_cosine."""
+    import numpy as np
+    from texoo_spark.knn import brute_force_topk_batch
+    emb = _load(spark, sf_dir, "embeddings")
+    qrows = (emb.filter(F.col("vec_id") < 5)
+             .orderBy("vec_id").select("embedding").collect())
+    queries = np.array([np.asarray(r[0], dtype=np.float32) for r in qrows])
+    return (brute_force_topk_batch(emb, queries, k=5)
+            .select("query_id", "rank", "vec_id"))
+
+
 def q_fingerprints(spark, sf_dir):
     from texoo_spark.udfs import fingerprint_udf
     docs = _load(spark, sf_dir, "documents")
@@ -606,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tagged_mentions": q_tagged_mentions,
         "tokens_in_range": q_tokens_in_range,
         "strong_matches": q_strong_matches,
+        "wd_metric": q_wd_metric,
+        "knn_batch": q_knn_batch,
         # rows-only (non-SQL-expressible)
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
@@ -803,6 +845,23 @@ def oracle_sql() -> dict[str, str]:
             " array_to_string(string_split(text, ' ')[9:12], ' ')"
             " AS layout_text FROM documents"
             " WHERE len(string_split(text, ' ')) >= 12"),
+        "wd_metric": (
+            "WITH b AS (SELECT vec_id, label AS ref,"
+            " COALESCE(LAG(label, 1) OVER (ORDER BY vec_id), label) AS hyp"
+            " FROM embeddings),"
+            " d AS (SELECT vec_id, ref AS r0,"
+            " LEAD(ref, 1) OVER w2 AS r1, LEAD(ref, 2) OVER w2 AS r2,"
+            " LEAD(ref, 3) OVER w2 AS r3, hyp AS h0,"
+            " LEAD(hyp, 1) OVER w2 AS h1, LEAD(hyp, 2) OVER w2 AS h2,"
+            " LEAD(hyp, 3) OVER w2 AS h3"
+            " FROM b WINDOW w2 AS (ORDER BY vec_id))"
+            " SELECT ROUND(AVG(CASE WHEN"
+            " (CAST(r0 = r1 AS INT) + CAST(r1 = r2 AS INT)"
+            "  + CAST(r2 = r3 AS INT)) <>"
+            " (CAST(h0 = h1 AS INT) + CAST(h1 = h2 AS INT)"
+            "  + CAST(h2 = h3 AS INT))"
+            " THEN 1.0 ELSE 0.0 END), 6) AS wd"
+            " FROM d WHERE r3 IS NOT NULL"),
         "tokens_in_range": (
             "WITH toks AS (SELECT doc_id,"
             " unnest(string_split(text, ' ')) AS tok,"
