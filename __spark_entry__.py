@@ -595,6 +595,24 @@ def q_bemd_segments(spark, sf_dir):
         run, "label int, seg_idx long, sent_begin long, sent_end long"))
 
 
+def q_curated_turns(spark, sf_dir):
+    """Training-data curation funnel (extract -> quality -> exact dedup ->
+    MinHash near dedup) over synthetic transcripts; returns survivors.
+    Rows-only: the near-dup stage is LSH-based (oracle-able stages are
+    covered individually by quality_scores / dedup_prefix)."""
+    from texoo_spark import curate
+    from texoo_spark.pipeline import with_part_id
+    from texoo_spark.transcripts import transcripts_from_documents
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    turns = with_part_id(transcripts_from_documents(docs), n_buckets=8)
+    extracted = curate.extract_turns_arrow(
+        turns.sortWithinPartitions("conv_id", "turn_idx"))
+    curated = curate.drop_near_dupes(
+        curate.drop_exact_dupes(curate.quality_filter(extracted)))
+    return (curated.select("conv_id", "turn_idx")
+            .orderBy("conv_id", "turn_idx"))
+
+
 def q_knn_batch(spark, sf_dir):
     """R6 batch kNN: 5 query vectors scored against the corpus in ONE
     broadcast-matrix matmul per Arrow batch (float32), window top-5 per
@@ -648,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strong_matches": q_strong_matches,
         "wd_metric": q_wd_metric,
         "knn_batch": q_knn_batch,
+        "curated_turns": q_curated_turns,
         # rows-only (non-SQL-expressible)
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,

@@ -226,3 +226,37 @@ def test_salting_spreads_skewed_conversation(spark):
               .agg(F.countDistinct("part_id").alias("p"))
               .collect())
     assert all(r.p == 1 for r in blocks)
+
+
+def test_curation_pipeline(spark, tmp_path_factory):
+    """extract -> quality filter -> exact dedup -> near dedup funnel."""
+    from pyspark.sql import functions as F
+    from texoo_spark import curate
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away to the hills")
+    rows = []
+    for i in range(6):                      # 6 exact copies -> 1 survivor
+        rows.append((f"c{i}", 0, "user", base, None))
+    rows.append(("n0", 0, "user", base + " tonight", None))  # near-dup
+    rows.append(("q0", 0, "user", "too short", None))        # quality drop
+    rows.append(("q1", 0, "user", "1 2 3 4 5 6 7 8 9 10 11", None))  # digits
+    rows.append(("k0", 0, "user",
+                 "a completely different sentence with the usual stopwords "
+                 "that is long enough to keep for training data", None))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+              " tool string").withColumn("ts", F.lit(None).cast("timestamp"))
+    inp = str(tmp_path_factory.mktemp("curate_in")) + "/turns"
+    out = str(tmp_path_factory.mktemp("curate_out"))
+    from texoo_spark.pipeline import with_part_id
+    with_part_id(df, n_buckets=4).write.parquet(inp)
+    funnel = curate.run(spark, inp, out, min_words=5)
+    assert funnel["input"] == 10
+    assert funnel["after_quality"] == 8        # 2 quality drops
+    assert funnel["after_exact_dedup"] == 3    # 6 copies -> 1
+    assert funnel["after_near_dedup"] == 2     # near-dup suppressed
+    kept = {r.conv_id for r in
+            spark.read.parquet(out + "/curated").collect()}
+    assert "k0" in kept and len(kept) == 2
+    fun = spark.read.parquet(out + "/_funnel").collect()[0]
+    assert fun.after_near_dedup == 2

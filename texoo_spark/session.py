@@ -27,7 +27,11 @@ def get_spark(app_name: str = "texoo-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 40k-row Arrow batches amortize per-batch Python dispatch; still
-        # ~15MB/batch at our row sizes, well inside executor memory
+        # ~15MB/batch at our row sizes, well inside executor memory.
+        # Giant-turn protection comes from Spark's companion byte cap,
+        # spark.sql.execution.arrow.maxBytesPerBatch (64MB default): a
+        # batch closes at whichever limit hits first, so pathological rows
+        # cannot blow up worker memory at 100TB scale.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "40000")
         # zstd: smaller AND faster end-to-end than snappy for this output
         # (134 vs 219 MiB per 1M turns; write overlaps the Python stage)
