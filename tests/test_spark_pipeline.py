@@ -260,3 +260,34 @@ def test_curation_pipeline(spark, tmp_path_factory):
     assert "k0" in kept and len(kept) == 2
     fun = spark.read.parquet(out + "/_funnel").collect()[0]
     assert fun.after_near_dedup == 2
+
+
+def test_arrow_lane_edge_rows(spark):
+    """Null text, empty text, whitespace-only, giant turn, unicode: the
+    hot lane must not drop or corrupt any row."""
+    from pyspark.sql import functions as F
+    from texoo_spark.arrow_extract import extract_turns_arrow
+    from texoo_spark.pipeline import with_part_id
+    big = ("word " * 20000).strip()          # ~100k chars single turn
+    rows = [("c", 0, "user", None, None),
+            ("c", 1, "user", "", None),
+            ("c", 2, "user", "   \n\t  ", None),
+            ("c", 3, "user", big, None),
+            ("c", 4, "user", "héllo wörld — naïve café. Ünicode?", None)]
+    df = (spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+              " tool string")
+        .withColumn("ts", F.lit(None).cast("timestamp")))
+    out = {r.turn_idx: r for r in extract_turns_arrow(
+        with_part_id(df, n_buckets=2)
+        .sortWithinPartitions("conv_id", "turn_idx")).collect()}
+    assert len(out) == 5
+    assert out[0].extracted_text == "" and out[0].n_tokens == 0
+    assert out[1].extracted_text == "" and out[1].n_tokens == 0
+    assert out[2].n_tokens == 0
+    assert out[3].n_tokens == 20000
+    assert out[3].extracted_text == big
+    assert out[4].n_tokens > 0
+    r4 = out[4]
+    for b, e in zip(r4.tok_begin, r4.tok_end):
+        assert 0 <= b < e <= len(r4.extracted_text)
