@@ -27,6 +27,9 @@ import re
 from dataclasses import dataclass, field
 
 _TAG = re.compile(r"<[^>]+>")
+# same token boundaries as _TAG but with (closing-slash, name) captured, so
+# the hot loop never re-parses the tag string (_tag_name kept for API use)
+_TAG_NAMED = re.compile(r"<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9-]*)?[^>]*>")
 _SCRIPT = re.compile(r"<(script|style|noscript|svg|template)\b.*?</\1\s*>",
                      re.IGNORECASE | re.DOTALL)
 _COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
@@ -100,7 +103,7 @@ def segment_blocks(html_text: str) -> list[Block]:
             blocks.append(cur)
         cur = Block(in_boiler=boiler_depth > 0)
 
-    for m in _TAG.finditer(html_text):
+    for m in _TAG_NAMED.finditer(html_text):
         text = html_text[pos:m.start()]
         pos = m.end()
         if text and not text.isspace():
@@ -114,7 +117,8 @@ def segment_blocks(html_text: str) -> list[Block]:
                     cur.link_chars += n
                 if boiler_depth > 0:
                     cur.in_boiler = True
-        name, closing = _tag_name(m.group(0))
+        closing = m.group(1) == "/"
+        name = (m.group(2) or "").lower()
         if name == "a":
             link_depth = max(0, link_depth - 1) if closing else link_depth + 1
             cur.tags += 1
