@@ -159,13 +159,14 @@ def tokenize_pos(text: str) -> list[tuple[int, int]]:
     append = out.append
     abbrevs = ABBREVIATIONS
     for m in _TOKSCAN.finditer(text):
-        tok = m.group(1)
-        if tok is None:
-            append(m.span())
-        elif len(tok) < 2 or tok.isalnum() or tok in abbrevs:
+        if m.lastindex is None:
             append(m.span())
         else:
-            _refine_token(tok, m.start(), out)
+            tok = m[1]
+            if len(tok) < 2 or tok.isalnum() or tok in abbrevs:
+                append(m.span())
+            else:
+                _refine_token(tok, m.start(), out)
     return out
 
 
@@ -322,18 +323,25 @@ def tokenize_pos_range(text: str, sb: int, se: int,
     Only exercised on text with no newline/tab/NBSP (the lean fast path),
     so the forced-\\n-single alternative never fires here."""
     abbrevs = ABBREVIATIONS
+    ba = begins.append
+    ea = ends.append
     for m in _TOKSCAN.finditer(text, sb, se):
-        tok = m.group(1)
-        if (tok is None or len(tok) < 2 or tok.isalnum()
-                or tok in abbrevs):
-            begins.append(m.start())
-            ends.append(m.end())
+        if m.lastindex is None:
+            b, e = m.span()
+            ba(b)
+            ea(e)
         else:
-            out: list[tuple[int, int]] = []
-            _refine_token(tok, m.start(), out)
-            for b, e in out:
-                begins.append(b)
-                ends.append(e)
+            tok = m[1]
+            if len(tok) < 2 or tok.isalnum() or tok in abbrevs:
+                b, e = m.span()
+                ba(b)
+                ea(e)
+            else:
+                out: list[tuple[int, int]] = []
+                _refine_token(tok, m.start(), out)
+                for b, e in out:
+                    ba(b)
+                    ea(e)
 
 
 def extract_arrays_lean(text: str, newlines: str = DISCARD):
