@@ -486,6 +486,32 @@ def q_strong_matches(spark, sf_dir):
             .agg(F.count("*").alias("n_strong")))
 
 
+def q_weak_matches(spark, sf_dir):
+    """R5 WEAK annotation matching (any overlap, Annotation.java:152-158
+    after Cornolti et al. 2013): gold spans = token pairs (2i, 2i+1) merged,
+    pred spans = tokens; overlap join counts pred tokens intersecting any
+    gold pair span."""
+    toks = (_extracted_docs(spark, sf_dir)
+            .select("doc_id", F.posexplode(
+                F.arrays_zip("tok_begin", "tok_end")).alias("i", "t"))
+            .select("doc_id", "i", F.col("t.tok_begin").alias("begin"),
+                    F.col("t.tok_end").alias("end")))
+    # gold: merge token 2i..2i+1 into one span (begin of even, end of odd)
+    even = toks.filter(F.col("i") % 2 == 0).select(
+        "doc_id", (F.col("i") / 2).cast("int").alias("g"),
+        F.col("begin").alias("g_begin"))
+    odd = toks.filter(F.col("i") % 2 == 1).select(
+        "doc_id", ((F.col("i") - 1) / 2).cast("int").alias("g"),
+        F.col("end").alias("g_end"))
+    gold = even.join(odd, ["doc_id", "g"])
+    pred = toks.filter(F.col("i") % 3 == 0)
+    weak = (pred.join(gold, ["doc_id"])
+            .filter((F.col("begin") < F.col("g_end"))
+                    & (F.col("end") > F.col("g_begin")))
+            .select("doc_id", "i").distinct())
+    return weak.groupBy("doc_id").agg(F.count("*").alias("n_weak"))
+
+
 def q_wd_metric(spark, sf_dir):
     """V3 WindowDiff at k=3 on the embeddings label sequence vs a 1-shifted
     hypothesis: boundary-count disagreement per sliding window, as a pure
@@ -665,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_in_range": q_tokens_in_range,
         "strong_matches": q_strong_matches,
         "wd_metric": q_wd_metric,
+        "weak_matches": q_weak_matches,
         "knn_batch": q_knn_batch,
         "curated_turns": q_curated_turns,
         # rows-only (non-SQL-expressible)
@@ -864,6 +891,27 @@ def oracle_sql() -> dict[str, str]:
             " array_to_string(string_split(text, ' ')[9:12], ' ')"
             " AS layout_text FROM documents"
             " WHERE len(string_split(text, ' ')) >= 12"),
+        "weak_matches": (
+            "WITH toks AS (SELECT doc_id,"
+            " unnest(string_split(text, ' ')) AS tok,"
+            " unnest(range(1, len(string_split(text, ' ')) + 1)) AS idx"
+            " FROM documents),"
+            " pos AS (SELECT doc_id, idx,"
+            " CAST(COALESCE(SUM(length(tok) + 1) OVER (PARTITION BY doc_id"
+            " ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+            " 0) AS BIGINT) AS b, length(tok) AS l FROM toks),"
+            " ev AS (SELECT doc_id, (idx + 1) // 2 AS g, b AS g_begin"
+            "  FROM pos WHERE idx % 2 = 1),"
+            " od AS (SELECT doc_id, idx // 2 AS g, b + l AS g_end"
+            "  FROM pos WHERE idx % 2 = 0),"
+            " gold AS (SELECT doc_id, g, g_begin, g_end FROM ev"
+            "  JOIN od USING (doc_id, g)),"
+            " pred AS (SELECT doc_id, idx, b, l FROM pos"
+            "  WHERE (idx - 1) % 3 = 0),"
+            " weak AS (SELECT DISTINCT p.doc_id, p.idx FROM pred p"
+            "  JOIN gold gd ON p.doc_id = gd.doc_id"
+            "  AND p.b < gd.g_end AND p.b + p.l > gd.g_begin)"
+            " SELECT doc_id, COUNT(*) AS n_weak FROM weak GROUP BY doc_id"),
         "wd_metric": (
             "WITH b AS (SELECT vec_id, label AS ref,"
             " COALESCE(LAG(label, 1) OVER (ORDER BY vec_id), label) AS hyp"
