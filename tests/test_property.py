@@ -11,7 +11,10 @@ from hypothesis import given, settings, strategies as st
 
 from texoo_spark import textops
 
-SETTINGS = settings(max_examples=300, deadline=None)
+# derandomize: the driver's pytest run is a gate — example generation must
+# be reproducible, not a fresh fuzz each round (fuzz exploration happens in
+# dev runs by flipping this off)
+SETTINGS = settings(max_examples=300, deadline=None, derandomize=True)
 
 # text alphabets: plain words, punctuation-heavy, whitespace-heavy, unicode
 _plain = st.text(alphabet="abc DEF 123 ", max_size=200)
