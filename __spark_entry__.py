@@ -486,6 +486,63 @@ def q_strong_matches(spark, sf_dir):
             .agg(F.count("*").alias("n_strong")))
 
 
+def q_wiki727_sections(spark, sf_dir):
+    """S5 Wiki727 reader, distributed: per doc, a 3-section wholetext in
+    the '========,<level>,<heading>.' format is parsed by read_wiki727
+    inside a pandas UDF; returns section count + last section body."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf("n_sections long, last_text string")
+    def parse_udf(texts: pd.Series) -> pd.DataFrame:
+        from texoo_spark.readers import read_wiki727
+        ns, lt = [], []
+        for t in texts:
+            secs = read_wiki727(t, section_level=2)
+            ns.append(len(secs))
+            lt.append(secs[-1]["text"].strip() if secs else "")
+        return pd.DataFrame({"n_sections": ns, "last_text": lt})
+
+    docs = _load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    wholetext = F.concat(
+        F.lit("========,1,Intro.\n"),
+        F.array_join(F.slice(words, 1, 5), " "), F.lit("\n"),
+        F.lit("========,2,Details.\n"),
+        F.array_join(F.slice(words, 6, 5), " "), F.lit("\n"),
+        F.lit("========,2,More.\n"),
+        F.array_join(F.slice(words, 11, F.size(words) - 10), " "),
+        F.lit("\n"))
+    return (docs.filter(F.size(words) >= 12)
+            .withColumn("w", parse_udf(wholetext))
+            .select("doc_id", F.col("w.n_sections").alias("n_sections"),
+                    F.col("w.last_text").alias("last_text")))
+
+
+def q_conll_mentions(spark, sf_dir):
+    """S3 CoNLL reader, distributed: per doc, token-per-line CoNLL text
+    with a B-PER/I-PER/O tag cycle is parsed by read_conll inside a pandas
+    UDF; mention count = one per B tag = ceil(n_words / 3)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def mention_count_udf(texts: pd.Series) -> pd.Series:
+        from texoo_spark.readers import read_conll
+        tags = ["B-PER", "I-PER", "O"]
+        out = []
+        for t in texts:
+            lines = [f"{w}\t{tags[i % 3]}"
+                     for i, w in enumerate((t or "").split(" "))]
+            docs = read_conll(lines)
+            out.append(sum(len(d["mentions"]) for d in docs))
+        return pd.Series(out)
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", mention_count_udf(F.col("text")).alias("n_mentions"))
+
+
 def q_weak_matches(spark, sf_dir):
     """R5 WEAK annotation matching (any overlap, Annotation.java:152-158
     after Cornolti et al. 2013): gold spans = token pairs (2i, 2i+1) merged,
@@ -692,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strong_matches": q_strong_matches,
         "wd_metric": q_wd_metric,
         "weak_matches": q_weak_matches,
+        "wiki727_sections": q_wiki727_sections,
+        "conll_mentions": q_conll_mentions,
         "knn_batch": q_knn_batch,
         "curated_turns": q_curated_turns,
         # rows-only (non-SQL-expressible)
@@ -891,6 +950,14 @@ def oracle_sql() -> dict[str, str]:
             " array_to_string(string_split(text, ' ')[9:12], ' ')"
             " AS layout_text FROM documents"
             " WHERE len(string_split(text, ' ')) >= 12"),
+        "wiki727_sections": (
+            "SELECT doc_id, CAST(3 AS BIGINT) AS n_sections,"
+            " array_to_string(string_split(text, ' ')"
+            " [11:len(string_split(text, ' '))], ' ') AS last_text"
+            " FROM documents WHERE len(string_split(text, ' ')) >= 12"),
+        "conll_mentions": (
+            "SELECT doc_id, CAST((len(string_split(text, ' ')) + 2) // 3"
+            " AS BIGINT) AS n_mentions FROM documents"),
         "weak_matches": (
             "WITH toks AS (SELECT doc_id,"
             " unnest(string_split(text, ' ')) AS tok,"
