@@ -543,6 +543,76 @@ def q_conll_mentions(spark, sf_dir):
         "doc_id", mention_count_udf(F.col("text")).alias("n_mentions"))
 
 
+def q_wikisection_gold(spark, sf_dir):
+    """S4 WikiSection JSON reader, distributed: per doc, a JSON document
+    with two GOLD SectionAnnotations (built with to_json, parsed with
+    read_wikisection in a pandas UDF); returns section count, first
+    heading, and the end offset of the last section."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_sections long, first_heading string, last_end long")
+    def parse_udf(jsons: pd.Series) -> pd.DataFrame:
+        from texoo_spark.readers import read_wikisection
+        ns, fh, le = [], [], []
+        for j in jsons:
+            doc = read_wikisection(j)[0]
+            secs = doc["sections"]
+            ns.append(len(secs))
+            fh.append(secs[0]["heading"] if secs else "")
+            le.append(secs[-1]["end"] if secs else 0)
+        return pd.DataFrame({"n_sections": ns, "first_heading": fh,
+                             "last_end": le})
+
+    docs = _load(spark, sf_dir, "documents")
+    n = F.length("text")
+    payload = F.to_json(F.struct(
+        F.col("doc_id").cast("string").alias("id"),
+        F.lit("disease").alias("type"),
+        F.lit("t").alias("title"),
+        F.col("text").alias("text"),
+        F.array(
+            F.struct(F.lit(0).alias("begin"), F.lit(20).alias("length"),
+                     F.lit("Intro").alias("sectionHeading"),
+                     F.lit("intro").alias("sectionLabel")),
+            F.struct(F.lit(20).alias("begin"), (n - 20).alias("length"),
+                     F.lit("Body").alias("sectionHeading"),
+                     F.lit("body").alias("sectionLabel")),
+        ).alias("annotations")))
+    return (docs.filter(n > 20)
+            .withColumn("w", parse_udf(payload))
+            .select("doc_id", F.col("w.n_sections").alias("n_sections"),
+                    F.col("w.first_heading").alias("first_heading"),
+                    F.col("w.last_end").alias("last_end")))
+
+
+def q_choi_segments(spark, sf_dir):
+    """S6 Choi reader, distributed: '==========' separated wholetext with
+    3 segments per doc; returns segment count and last segment."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_segments long, last_segment string")
+    def parse_udf(texts: pd.Series) -> pd.DataFrame:
+        from texoo_spark.readers import read_choi
+        ns, ls = [], []
+        for t in texts:
+            segs = read_choi(t)
+            ns.append(len(segs))
+            ls.append(segs[-1] if segs else "")
+        return pd.DataFrame({"n_segments": ns, "last_segment": ls})
+
+    docs = _load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    wholetext = F.concat(
+        F.lit("==========\n"),
+        F.array_join(F.slice(words, 1, 5), " "), F.lit("\n==========\n"),
+        F.array_join(F.slice(words, 6, 5), " "), F.lit("\n==========\n"),
+        F.array_join(F.slice(words, 11, F.size(words) - 10), " "))
+    return (docs.filter(F.size(words) >= 12)
+            .withColumn("w", parse_udf(wholetext))
+            .select("doc_id", F.col("w.n_segments").alias("n_segments"),
+                    F.col("w.last_segment").alias("last_segment")))
+
+
 def q_weak_matches(spark, sf_dir):
     """R5 WEAK annotation matching (any overlap, Annotation.java:152-158
     after Cornolti et al. 2013): gold spans = token pairs (2i, 2i+1) merged,
@@ -751,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weak_matches": q_weak_matches,
         "wiki727_sections": q_wiki727_sections,
         "conll_mentions": q_conll_mentions,
+        "wikisection_gold": q_wikisection_gold,
+        "choi_segments": q_choi_segments,
         "knn_batch": q_knn_batch,
         "curated_turns": q_curated_turns,
         # rows-only (non-SQL-expressible)
@@ -950,6 +1022,16 @@ def oracle_sql() -> dict[str, str]:
             " array_to_string(string_split(text, ' ')[9:12], ' ')"
             " AS layout_text FROM documents"
             " WHERE len(string_split(text, ' ')) >= 12"),
+        "wikisection_gold": (
+            "SELECT doc_id, CAST(2 AS BIGINT) AS n_sections,"
+            " 'Intro' AS first_heading,"
+            " CAST(length(text) AS BIGINT) AS last_end"
+            " FROM documents WHERE length(text) > 20"),
+        "choi_segments": (
+            "SELECT doc_id, CAST(3 AS BIGINT) AS n_segments,"
+            " array_to_string(string_split(text, ' ')"
+            " [11:len(string_split(text, ' '))], ' ') AS last_segment"
+            " FROM documents WHERE len(string_split(text, ' ')) >= 12"),
         "wiki727_sections": (
             "SELECT doc_id, CAST(3 AS BIGINT) AS n_sections,"
             " array_to_string(string_split(text, ' ')"
