@@ -120,14 +120,13 @@ def q_html_main_content(spark, sf_dir):
 
 
 def q_gazetteer_matches(spark, sf_dir):
-    """A1 gazetteer matching: boundary-aligned match counts per doc."""
-    from texoo_spark.udfs import make_gazetteer_udf
-    gaz = make_gazetteer_udf(GAZETTEER_TERMS, "CASE_SENSITIVE")
-    return (_extracted_docs(spark, sf_dir)
-            .withColumn("m", gaz(F.col("extracted_text"),
-                                 F.col("tok_begin"), F.col("tok_end")))
-            .select("doc_id",
-                    F.size(F.col("m.m_begin")).cast("long").alias("n_matches")))
+    """A1 gazetteer matching: boundary-aligned match counts per doc, fused
+    extract+match in one Python hop (make_gazetteer_udf remains the
+    span-emitting two-stage API)."""
+    from texoo_spark.udfs import make_gazetteer_count_udf
+    gaz = make_gazetteer_count_udf(GAZETTEER_TERMS, "CASE_SENSITIVE")
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select("doc_id", gaz(F.col("text")).alias("n_matches"))
 
 
 def q_token_prf(spark, sf_dir):

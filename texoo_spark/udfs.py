@@ -50,6 +50,27 @@ def pdf_layout_text_udf(boxes: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="object")
 
 
+def make_gazetteer_count_udf(terms: list[str],
+                             case_strategy: str = "LOWERCASE"):
+    """Fused extract+match: segments the raw text AND counts boundary-
+    aligned gazetteer matches in ONE Python hop (one ArrowEvalPython node
+    instead of extract-then-match)."""
+    from texoo_spark.spans import GazetteerMatcher
+    from texoo_spark.textops import DISCARD, extract_arrays_lean
+    matcher = GazetteerMatcher(terms, case_strategy)
+
+    @pandas_udf(LongType())
+    def gazetteer_count_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            _, begins, ends, _sents, ext = extract_arrays_lean(
+                text or "", DISCARD)
+            out.append(len(matcher.match(ext, begins, ends)))
+        return pd.Series(out)
+
+    return gazetteer_count_udf
+
+
 def make_gazetteer_udf(terms: list[str], case_strategy: str = "LOWERCASE"):
     """Gazetteer matcher UDF factory: the term automaton is built once per
     executor (broadcast-equivalent closure), applied per Arrow batch.
