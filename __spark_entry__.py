@@ -42,6 +42,23 @@ def _extracted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "text", "doc.*"))
 
 
+def _extracted_docs_lean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lean variant for queries that never read token surfaces: no
+    tok_text through Arrow (EXTRACT_LEAN_SCHEMA, no HTML gate)."""
+    from texoo_spark.extract import _extract_batch_lean
+    from pyspark.sql.functions import pandas_udf
+    from texoo_spark.schema import EXTRACT_LEAN_SCHEMA
+    from texoo_spark import textops
+
+    @pandas_udf(EXTRACT_LEAN_SCHEMA)
+    def lean_udf(texts: pd.Series) -> pd.DataFrame:
+        return _extract_batch_lean(texts, textops.DISCARD)
+
+    return (_load(spark, sf_dir, "documents")
+            .withColumn("doc", lean_udf(F.col("text")))
+            .select("doc_id", "text", "doc.*"))
+
+
 # ---------------------------------------------------------------------------
 # flagship entry
 # ---------------------------------------------------------------------------
@@ -71,7 +88,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_extract_tokens(spark, sf_dir):
     """T1/T2 tokenization: token counts per document."""
-    return (_extracted_docs(spark, sf_dir)
+    return (_extracted_docs_lean(spark, sf_dir)
             .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens")))
 
 
@@ -328,7 +345,7 @@ def q_max_overlap_token(spark, sf_dir):
     """R3 max-overlap join: for the probe char range [10, 40), the token
     with the largest overlap, per document."""
     from texoo_spark.conversation import max_overlap_join
-    toks = (_extracted_docs(spark, sf_dir)
+    toks = (_extracted_docs_lean(spark, sf_dir)
             .select("doc_id",
                     F.explode(F.arrays_zip("tok_begin", "tok_end")).alias("t"))
             .select("doc_id", F.col("t.tok_begin").alias("c_begin"),
@@ -463,7 +480,7 @@ def q_tokens_in_range(spark, sf_dir):
         z, lambda t: ((t["tok_begin"] <= b) & (t["tok_end"] > b))
         | ((t["tok_begin"] >= b) & (t["tok_end"] <= e))
         | ((t["tok_begin"] < e) & (t["tok_end"] >= e))))
-    return (_extracted_docs(spark, sf_dir)
+    return (_extracted_docs_lean(spark, sf_dir)
             .select("doc_id", enclosed.cast("long").alias("n_enclosed"),
                     expand.cast("long").alias("n_expand")))
 
@@ -473,7 +490,7 @@ def q_strong_matches(spark, sf_dir):
     Annotation.java:143-158): gold spans = even-index tokens, pred spans =
     every-3rd-index tokens; the STRONG equi-join on (doc, begin, end)
     counts tokens at indices divisible by 6."""
-    toks = (_extracted_docs(spark, sf_dir)
+    toks = (_extracted_docs_lean(spark, sf_dir)
             .select("doc_id", F.posexplode(
                 F.arrays_zip("tok_begin", "tok_end")).alias("i", "t"))
             .select("doc_id", "i", F.col("t.tok_begin").alias("begin"),
@@ -617,7 +634,7 @@ def q_weak_matches(spark, sf_dir):
     after Cornolti et al. 2013): gold spans = token pairs (2i, 2i+1) merged,
     pred spans = tokens; overlap join counts pred tokens intersecting any
     gold pair span."""
-    toks = (_extracted_docs(spark, sf_dir)
+    toks = (_extracted_docs_lean(spark, sf_dir)
             .select("doc_id", F.posexplode(
                 F.arrays_zip("tok_begin", "tok_end")).alias("i", "t"))
             .select("doc_id", "i", F.col("t.tok_begin").alias("begin"),
