@@ -629,6 +629,149 @@ def q_choi_segments(spark, sf_dir):
                     F.col("w.last_segment").alias("last_segment")))
 
 
+def q_wned_mentions(spark, sf_dir):
+    """S9 WNED XML reader, distributed: per doc, a 2-annotation WNED XML
+    is parsed by read_wned_annotations inside a pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_mentions long, first_surface string, first_length long")
+    def parse_udf(xmls: pd.Series) -> pd.DataFrame:
+        from texoo_spark.readers import read_wned_annotations
+        nm, fs, fl = [], [], []
+        for x in xmls:
+            doc = read_wned_annotations(x)[0]
+            ms = doc["mentions"]
+            nm.append(len(ms))
+            fs.append(ms[0]["surface"] if ms else "")
+            fl.append(ms[0]["length"] if ms else 0)
+        return pd.DataFrame({"n_mentions": nm, "first_surface": fs,
+                             "first_length": fl})
+
+    docs = _load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    w1, w2 = F.element_at(words, 1), F.element_at(words, 2)
+    xml = F.concat(
+        F.lit('<dataset><document docName="d'),
+        F.col("doc_id").cast("string"), F.lit('">'),
+        F.lit("<annotation><mention>"), w1, F.lit("</mention>"),
+        F.lit("<wikiName>W1</wikiName><offset>0</offset><length>"),
+        F.length(w1).cast("string"), F.lit("</length></annotation>"),
+        F.lit("<annotation><mention>"), w2, F.lit("</mention>"),
+        F.lit("<wikiName>W2</wikiName><offset>"),
+        (F.length(w1) + 1).cast("string"), F.lit("</offset><length>"),
+        F.length(w2).cast("string"), F.lit("</length></annotation>"),
+        F.lit("</document></dataset>"))
+    return (docs.filter(F.size(words) >= 2)
+            .withColumn("w", parse_udf(xml))
+            .select("doc_id", F.col("w.n_mentions").alias("n_mentions"),
+                    F.col("w.first_surface").alias("first_surface"),
+                    F.col("w.first_length").alias("first_length")))
+
+
+def q_tokenized_roundtrip(spark, sf_dir):
+    """T4 createTokensFromTokenizedText: offsets rebuilt from pre-tokenized
+    input; reconstruction must round-trip the input exactly."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("recon string, n_tokens long")
+    def rt_udf(texts: pd.Series) -> pd.DataFrame:
+        from texoo_spark.textops import document_from_tokenized_text
+        recon, nt = [], []
+        for t in texts:
+            doc = document_from_tokenized_text(t or "")
+            recon.append(doc.text)
+            nt.append(len(doc.tokens))
+        return pd.DataFrame({"recon": recon, "n_tokens": nt})
+
+    docs = _load(spark, sf_dir, "documents")
+    return (docs.withColumn("w", rt_udf(F.col("text")))
+            .select("doc_id", F.col("w.recon").alias("recon"),
+                    F.col("w.n_tokens").alias("n_tokens")))
+
+
+def q_minimal_lowercase_keys(spark, sf_dir):
+    """T9 MinimalLowercasePreprocessor: normalization key of the first
+    word with the doc id appended (digit runs -> '#', lowercase)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def key_udf(words: pd.Series) -> pd.Series:
+        from texoo_spark.textops import minimal_lowercase
+        return pd.Series([minimal_lowercase(w or "") for w in words])
+
+    docs = _load(spark, sf_dir, "documents")
+    w1 = F.element_at(F.split(F.col("text"), " "), 1)
+    raw = F.concat(F.initcap(w1), F.col("doc_id").cast("string"))
+    return docs.select("doc_id", key_udf(raw).alias("norm_key"))
+
+
+def q_bow_vocab(spark, sf_dir):
+    """E1 BagOfWordsEncoder vocabulary construction, distributed: corpus
+    term frequencies with min length 2, min frequency 5, stopword filter
+    (the CountVectorizer-shaped plan: explode -> filter -> groupBy)."""
+    docs = _load(spark, sf_dir, "documents")
+    return (docs
+            .select(F.explode(F.split(F.lower(F.col("text")), " "))
+                    .alias("word"))
+            .filter((F.length("word") >= 2) & ~F.col("word").isin(*STOPLIST))
+            .groupBy("word").agg(F.count("*").alias("freq"))
+            .filter(F.col("freq") >= 5))
+
+
+def q_classification_prf(spark, sf_dir):
+    """V5 classification report, distributed: per-class P/R/F1 + support
+    for gold = label, pred = 1-shifted label over the embeddings table
+    (ClassificationEvaluation counters as groupBy aggregations)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    w = Window.orderBy("vec_id")
+    pairs = (emb.select("vec_id", F.col("label").alias("gold"))
+             .withColumn("pred", F.coalesce(F.lag("gold", 1).over(w),
+                                            F.col("gold"))))
+    tp = (pairs.filter(F.col("gold") == F.col("pred"))
+          .groupBy(F.col("gold").alias("label"))
+          .agg(F.count("*").alias("tp")))
+    fp = (pairs.filter(F.col("gold") != F.col("pred"))
+          .groupBy(F.col("pred").alias("label"))
+          .agg(F.count("*").alias("fp")))
+    fn = (pairs.filter(F.col("gold") != F.col("pred"))
+          .groupBy(F.col("gold").alias("label"))
+          .agg(F.count("*").alias("fn")))
+    labels = pairs.select(F.col("gold").alias("label")).union(
+        pairs.select(F.col("pred").alias("label"))).distinct()
+    j = (labels.join(tp, "label", "left").join(fp, "label", "left")
+         .join(fn, "label", "left").fillna(0, ["tp", "fp", "fn"]))
+    p = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    r = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    return j.select("label", "tp", "fp", "fn",
+                    F.round(p, 6).alias("precision"),
+                    F.round(r, 6).alias("recall"),
+                    F.round(f1, 6).alias("f1"),
+                    (F.col("tp") + F.col("fn")).alias("support"))
+
+
+def q_max_segments(spark, sf_dir):
+    """A8 MAX segmentation (applySectionsFromTargetLabels), one document
+    per label group via applyInPandas; label matrix = identity over the
+    embedding dims (top-k = arg-top coordinates)."""
+    import numpy as np
+    from texoo_spark.segment import segments_from_target_labels
+    emb = _load(spark, sf_dir, "embeddings")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        mat = np.abs(np.array([np.asarray(v, dtype=np.float32)
+                               for v in pdf["embedding"]]))
+        segs = segments_from_target_labels(mat, np.eye(mat.shape[1],
+                                                       dtype=np.float32))
+        return pd.DataFrame({"label": pdf["label"].iloc[0],
+                             "n_segments": [len(segs)]})
+
+    return (emb.groupBy("label")
+            .applyInPandas(run, "label int, n_segments long"))
+
+
 def q_weak_matches(spark, sf_dir):
     """R5 WEAK annotation matching (any overlap, Annotation.java:152-158
     after Cornolti et al. 2013): gold spans = token pairs (2i, 2i+1) merged,
@@ -839,6 +982,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conll_mentions": q_conll_mentions,
         "wikisection_gold": q_wikisection_gold,
         "choi_segments": q_choi_segments,
+        "wned_mentions": q_wned_mentions,
+        "tokenized_roundtrip": q_tokenized_roundtrip,
+        "minimal_lowercase_keys": q_minimal_lowercase_keys,
+        "bow_vocab": q_bow_vocab,
+        "classification_prf": q_classification_prf,
+        "max_segments": q_max_segments,
         "knn_batch": q_knn_batch,
         "curated_turns": q_curated_turns,
         # rows-only (non-SQL-expressible)
@@ -1038,6 +1187,48 @@ def oracle_sql() -> dict[str, str]:
             " array_to_string(string_split(text, ' ')[9:12], ' ')"
             " AS layout_text FROM documents"
             " WHERE len(string_split(text, ' ')) >= 12"),
+        "wned_mentions": (
+            "SELECT doc_id, CAST(2 AS BIGINT) AS n_mentions,"
+            " string_split(text, ' ')[1] AS first_surface,"
+            " CAST(length(string_split(text, ' ')[1]) AS BIGINT)"
+            " AS first_length FROM documents"
+            " WHERE len(string_split(text, ' ')) >= 2"),
+        "tokenized_roundtrip": (
+            "SELECT doc_id, text AS recon,"
+            " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens"
+            " FROM documents"),
+        "minimal_lowercase_keys": (
+            "SELECT doc_id, lower(string_split(text, ' ')[1]) || '#'"
+            " AS norm_key FROM documents"),
+        "bow_vocab": (
+            "WITH w AS (SELECT unnest(string_split(lower(text), ' '))"
+            " AS word FROM documents)"
+            " SELECT word, COUNT(*) AS freq FROM w"
+            " WHERE length(word) >= 2 AND word NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with')"
+            " GROUP BY word HAVING COUNT(*) >= 5"),
+        "classification_prf": (
+            "WITH pairs AS (SELECT label AS gold,"
+            " COALESCE(LAG(label, 1) OVER (ORDER BY vec_id), label) AS pred"
+            " FROM embeddings),"
+            " tp AS (SELECT gold AS label, COUNT(*) AS tp FROM pairs"
+            "  WHERE gold = pred GROUP BY 1),"
+            " fp AS (SELECT pred AS label, COUNT(*) AS fp FROM pairs"
+            "  WHERE gold <> pred GROUP BY 1),"
+            " fn AS (SELECT gold AS label, COUNT(*) AS fn FROM pairs"
+            "  WHERE gold <> pred GROUP BY 1),"
+            " labels AS (SELECT DISTINCT label FROM (SELECT gold AS label"
+            "  FROM pairs UNION ALL SELECT pred FROM pairs)),"
+            " j AS (SELECT l.label, COALESCE(tp, 0) AS tp,"
+            "  COALESCE(fp, 0) AS fp, COALESCE(fn, 0) AS fn FROM labels l"
+            "  LEFT JOIN tp USING (label) LEFT JOIN fp USING (label)"
+            "  LEFT JOIN fn USING (label)),"
+            " m AS (SELECT label, tp, fp, fn,"
+            "  CAST(tp AS DOUBLE) / GREATEST(tp + fp, 1) AS p,"
+            "  CAST(tp AS DOUBLE) / GREATEST(tp + fn, 1) AS r FROM j)"
+            " SELECT label, tp, fp, fn, ROUND(p, 6) AS precision,"
+            " ROUND(r, 6) AS recall,"
+            " ROUND(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)"
+            "  ELSE 0.0 END, 6) AS f1, tp + fn AS support FROM m"),
         "wikisection_gold": (
             "SELECT doc_id, CAST(2 AS BIGINT) AS n_sections,"
             " 'Intro' AS first_heading,"
