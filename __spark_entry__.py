@@ -772,6 +772,67 @@ def q_max_segments(spark, sf_dir):
             .applyInPandas(run, "label int, n_segments long"))
 
 
+def q_normalized_text(spark, sf_dir):
+    """T8 normalizer chain (replaceDashes -> replaceNumbers ->
+    replaceSpaces, WordHelpers.java:171-203) on text + '-' + doc_id."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def norm_udf(texts: pd.Series) -> pd.Series:
+        from texoo_spark.textops import (replace_dashes, replace_numbers,
+                                         replace_spaces)
+        return pd.Series([
+            replace_spaces(replace_numbers(
+                replace_dashes(t or "", " "), "#"), "_")
+            for t in texts])
+
+    docs = _load(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit("-"),
+                   F.col("doc_id").cast("string"))
+    return docs.select("doc_id", norm_udf(raw).alias("norm_text"))
+
+
+def q_serializer_roundtrip(spark, sf_dir):
+    """S10 Document-JSON sink/source round trip: extraction output ->
+    Document JSON rows -> write json -> fixed-schema read back."""
+    import tempfile
+    from texoo_spark.serializer import (extracted_to_documents,
+                                        read_documents_json,
+                                        write_documents_json)
+    docs = (_extracted_docs_lean(spark, sf_dir)
+            .select(F.col("doc_id").cast("string").alias("conv_id"),
+                    F.lit(0).alias("turn_idx"),
+                    F.lit("user").alias("role"),
+                    "extracted_text", "sent_begin", "sent_end"))
+    path = tempfile.mkdtemp(prefix="texoo_json_") + "/docs"
+    write_documents_json(extracted_to_documents(docs), path)
+    back = read_documents_json(spark, path)
+    return back.select("id", F.col("end").cast("long").alias("end"))
+
+
+def q_linked_mentions(spark, sf_dir):
+    """A13 entity linking: first-word mentions joined against a
+    broadcast alias table derived from the corpus vocabulary; the top
+    candidate per mention is the word's entity."""
+    from texoo_spark.linking import link_mentions
+    docs = _load(spark, sf_dir, "documents")
+    w1 = F.element_at(F.split(F.col("text"), " "), 1)
+    mentions = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"), F.lit(0).alias("begin"),
+        F.length(w1).cast("int").alias("end"), w1.alias("surface"))
+    aliases = (docs.select(F.explode(F.split(F.col("text"), " "))
+                           .alias("alias"))
+               .distinct()
+               .select("alias", F.upper("alias").alias("entity_id"),
+                       F.length("alias").cast("double").alias("prior")))
+    linked = link_mentions(mentions, aliases, top_k=1)
+    return (linked.filter(F.col("cand_rank") == 1)
+            .select(F.col("conv_id").cast("long").alias("doc_id"),
+                    "entity_id"))
+
+
 def q_weak_matches(spark, sf_dir):
     """R5 WEAK annotation matching (any overlap, Annotation.java:152-158
     after Cornolti et al. 2013): gold spans = token pairs (2i, 2i+1) merged,
@@ -988,6 +1049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bow_vocab": q_bow_vocab,
         "classification_prf": q_classification_prf,
         "max_segments": q_max_segments,
+        "normalized_text": q_normalized_text,
+        "serializer_roundtrip": q_serializer_roundtrip,
+        "linked_mentions": q_linked_mentions,
         "knn_batch": q_knn_batch,
         "curated_turns": q_curated_turns,
         # rows-only (non-SQL-expressible)
@@ -1187,6 +1251,17 @@ def oracle_sql() -> dict[str, str]:
             " array_to_string(string_split(text, ' ')[9:12], ' ')"
             " AS layout_text FROM documents"
             " WHERE len(string_split(text, ' ')) >= 12"),
+        "normalized_text": (
+            "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+            "text || '-' || CAST(doc_id AS VARCHAR),"
+            " '[-_/]+', ' ', 'g'), '[0-9]+', '#', 'g'), '\\s+', '_', 'g')"
+            " AS norm_text FROM documents"),
+        "serializer_roundtrip": (
+            "SELECT CAST(doc_id AS VARCHAR) || '#0' AS id,"
+            " CAST(length(text) AS BIGINT) AS end FROM documents"),
+        "linked_mentions": (
+            "SELECT doc_id, upper(string_split(text, ' ')[1]) AS entity_id"
+            " FROM documents"),
         "wned_mentions": (
             "SELECT doc_id, CAST(2 AS BIGINT) AS n_mentions,"
             " string_split(text, ' ')[1] AS first_surface,"
