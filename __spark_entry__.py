@@ -833,6 +833,66 @@ def q_linked_mentions(spark, sf_dir):
                     "entity_id"))
 
 
+def q_bio_decode(spark, sf_dir):
+    """A4/A5: BIO2 span decode + BIOES conversion validity, per doc over a
+    B,I,O tag cycle (one span per B tag; converted BIOES must be valid)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_spans long, bioes_valid boolean")
+    def decode_udf(counts: pd.Series) -> pd.DataFrame:
+        from texoo_spark.spans import (bio2_to_bioes, bioes_is_correct,
+                                       decode_bio2)
+        ns, ok = [], []
+        for n in counts:
+            tags = [["B", "I", "O"][i % 3] for i in range(int(n))]
+            ns.append(len(decode_bio2(tags, None, None)))
+            ok.append(bioes_is_correct(bio2_to_bioes(tags)))
+        return pd.DataFrame({"n_spans": ns, "bioes_valid": ok})
+
+    docs = _load(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    return (docs.withColumn("w", decode_udf(n_words))
+            .select("doc_id", F.col("w.n_spans").alias("n_spans"),
+                    F.col("w.bioes_valid").alias("bioes_valid")))
+
+
+def q_char_trigrams(spark, sf_dir):
+    """E2 LetterNGramEncoder: padded char-trigram count of the first word
+    ('#w#' windows; equals len(word) for len >= 1)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def tri_udf(words: pd.Series) -> pd.Series:
+        from texoo_spark.encoders import LetterNGramEncoder
+        enc = LetterNGramEncoder(n=3)
+        return pd.Series([len(enc.ngrams(w or "")) for w in words])
+
+    docs = _load(spark, sf_dir, "documents")
+    w1 = F.element_at(F.split(F.col("text"), " "), 1)
+    return docs.select("doc_id", tri_udf(w1).alias("n_trigrams"))
+
+
+def q_span_zip(spark, sf_dir):
+    """R4 span<->annotation zip: two half-document sentence spans each
+    paired with the single enclosing GOLD annotation."""
+    from texoo_spark.conversation import span_zip
+    docs = _load(spark, sf_dir, "documents")
+    n = F.length("text")
+    half = (n / 2).cast("int")
+    spans = docs.select("doc_id", F.lit(0).alias("s_begin"),
+                        half.alias("s_end")).unionByName(
+        docs.select("doc_id", half.alias("s_begin"),
+                    n.cast("int").alias("s_end")))
+    anns = docs.select("doc_id", F.lit(0).alias("a_begin"),
+                       n.cast("int").alias("a_end"),
+                       F.lit("GOLD").alias("a_source"))
+    return (span_zip(spans, anns, ["doc_id"])
+            .select("doc_id", F.col("s_begin").cast("long").alias("s_begin"),
+                    F.col("s_end").cast("long").alias("s_end"),
+                    F.col("a_end").cast("long").alias("a_end")))
+
+
 def q_weak_matches(spark, sf_dir):
     """R5 WEAK annotation matching (any overlap, Annotation.java:152-158
     after Cornolti et al. 2013): gold spans = token pairs (2i, 2i+1) merged,
@@ -1052,6 +1112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_text": q_normalized_text,
         "serializer_roundtrip": q_serializer_roundtrip,
         "linked_mentions": q_linked_mentions,
+        "bio_decode": q_bio_decode,
+        "char_trigrams": q_char_trigrams,
+        "span_zip": q_span_zip,
         "knn_batch": q_knn_batch,
         "curated_turns": q_curated_turns,
         # rows-only (non-SQL-expressible)
@@ -1251,6 +1314,22 @@ def oracle_sql() -> dict[str, str]:
             " array_to_string(string_split(text, ' ')[9:12], ' ')"
             " AS layout_text FROM documents"
             " WHERE len(string_split(text, ' ')) >= 12"),
+        "bio_decode": (
+            "SELECT doc_id,"
+            " CAST((len(string_split(text, ' ')) + 2) // 3 AS BIGINT)"
+            " AS n_spans, TRUE AS bioes_valid FROM documents"),
+        "char_trigrams": (
+            "SELECT doc_id,"
+            " CAST(length(string_split(text, ' ')[1]) AS BIGINT)"
+            " AS n_trigrams FROM documents"),
+        "span_zip": (
+            "SELECT doc_id, CAST(0 AS BIGINT) AS s_begin,"
+            " CAST(length(text) // 2 AS BIGINT) AS s_end,"
+            " CAST(length(text) AS BIGINT) AS a_end FROM documents"
+            " UNION ALL"
+            " SELECT doc_id, CAST(length(text) // 2 AS BIGINT),"
+            " CAST(length(text) AS BIGINT),"
+            " CAST(length(text) AS BIGINT) FROM documents"),
         "normalized_text": (
             "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
             "text || '-' || CAST(doc_id AS VARCHAR),"
