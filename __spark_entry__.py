@@ -893,6 +893,26 @@ def q_span_zip(spark, sf_dir):
                     F.col("a_end").cast("long").alias("a_end")))
 
 
+def q_raw_text_docs(spark, sf_dir):
+    """S1/S2 raw-text directory reader: 10 docs written as one UTF-8 file
+    each, read back via spark.read.text(wholetext) with filename
+    provenance and name-ordering."""
+    import tempfile
+    from texoo_spark.readers import read_raw_text_documents
+    docs = (_load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 10)
+            .select("doc_id", "text").collect())
+    d = tempfile.mkdtemp(prefix="texoo_raw_")
+    for r in docs:
+        with open(os.path.join(d, f"doc_{r.doc_id:04d}.txt"), "w") as f:
+            f.write(r.text)
+    df = read_raw_text_documents(spark, os.path.join(d, "*.txt"))
+    doc_id = F.regexp_extract(F.col("source"), r"doc_(\d+)\.txt", 1) \
+        .cast("long")
+    return df.select(doc_id.alias("doc_id"),
+                     F.length("text").cast("long").alias("n_chars"))
+
+
 def q_weak_matches(spark, sf_dir):
     """R5 WEAK annotation matching (any overlap, Annotation.java:152-158
     after Cornolti et al. 2013): gold spans = token pairs (2i, 2i+1) merged,
@@ -1112,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_text": q_normalized_text,
         "serializer_roundtrip": q_serializer_roundtrip,
         "linked_mentions": q_linked_mentions,
+        "raw_text_docs": q_raw_text_docs,
         "bio_decode": q_bio_decode,
         "char_trigrams": q_char_trigrams,
         "span_zip": q_span_zip,
@@ -1314,6 +1335,9 @@ def oracle_sql() -> dict[str, str]:
             " array_to_string(string_split(text, ' ')[9:12], ' ')"
             " AS layout_text FROM documents"
             " WHERE len(string_split(text, ' ')) >= 12"),
+        "raw_text_docs": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars"
+            " FROM documents WHERE doc_id < 10"),
         "bio_decode": (
             "SELECT doc_id,"
             " CAST((len(string_split(text, ' ')) + 2) // 3 AS BIGINT)"
