@@ -251,14 +251,21 @@ def _trim_span(s: str, start: int, end: int) -> tuple[int, int]:
     return ns, ne
 
 
-def sent_pos_detect(s: str) -> list[tuple[int, int]]:
+def sent_pos_detect(s: str,
+                    decision=None) -> list[tuple[int, int]]:
     """Sentence spans of ``s`` (begin, end-exclusive), whitespace-trimmed but
     keeping trailing newlines.
 
     Control flow mirrors SentenceDetectorMENL.sentPosDetect (java:65-175):
     candidate enumeration over . ! ? \\n, skip of non-token-final delimiters,
     newline => forced split, useTokenEnd position advance, leftover span.
+
+    ``decision(s, cint) -> bool`` replaces the rule-based stand-in for the
+    sentence model when given (maxent.maxent_split_decision plugs in the
+    reference's real OpenNLP model); the newline overrides of the
+    reference (java:86-88) apply either way.
     """
+    decide = decision or _split_decision
     enders = [m.start() for m in _EOS_RE.finditer(s)]
     positions: list[int] = []
     index = 0
@@ -270,7 +277,13 @@ def sent_pos_detect(s: str) -> list[tuple[int, int]]:
             continue
         if positions and cint < positions[-1]:
             continue
-        outcome = _split_decision(s, cint)
+        outcome = decide(s, cint)
+        if decision is not None:
+            # model-lane newline override (java:86-88): a candidate whose
+            # next non-WS char is a newline never splits here
+            nint = _first_non_ws(s, cint + 1)
+            if nint < len(s) and s[nint] == "\n":
+                outcome = False
         if s[cint] == "\n":
             outcome = True
         if outcome and _is_acceptable_break(s, index, cint):
