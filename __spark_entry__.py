@@ -913,6 +913,23 @@ def q_raw_text_docs(spark, sf_dir):
                      F.length("text").cast("long").alias("n_chars"))
 
 
+def q_maxent_tokens(spark, sf_dir):
+    """T2 model-faithful lane: token counts through the reference's REAL
+    OpenNLP GIS tokenizer model (byte-decoded, evaluated per candidate
+    split inside a pandas UDF; model loaded once per executor worker)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def cnt_udf(texts: pd.Series) -> pd.Series:
+        from texoo_spark.maxent import maxent_tokenize_pos
+        return pd.Series([len(maxent_tokenize_pos(t or ""))
+                          for t in texts])
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select("doc_id", cnt_udf(F.col("text")).alias("n_tokens"))
+
+
 def q_weak_matches(spark, sf_dir):
     """R5 WEAK annotation matching (any overlap, Annotation.java:152-158
     after Cornolti et al. 2013): gold spans = token pairs (2i, 2i+1) merged,
@@ -1133,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serializer_roundtrip": q_serializer_roundtrip,
         "linked_mentions": q_linked_mentions,
         "raw_text_docs": q_raw_text_docs,
+        "maxent_tokens": q_maxent_tokens,
         "bio_decode": q_bio_decode,
         "char_trigrams": q_char_trigrams,
         "span_zip": q_span_zip,
@@ -1335,6 +1353,9 @@ def oracle_sql() -> dict[str, str]:
             " array_to_string(string_split(text, ' ')[9:12], ' ')"
             " AS layout_text FROM documents"
             " WHERE len(string_split(text, ' ')) >= 12"),
+        "maxent_tokens": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)"
+            " AS n_tokens FROM documents"),
         "raw_text_docs": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars"
             " FROM documents WHERE doc_id < 10"),

@@ -139,3 +139,20 @@ def test_full_document_parity_between_lanes():
     # token/sentence structures agree on >= 95% (known benign divergences
     # like trailing-dot all-caps tokens the model keeps whole)
     assert same / (2 * len(strings)) >= 0.95
+
+
+def test_german_models_parse():
+    """The DE models (different outcome order) decode byte-exactly too;
+    outcome lookup is order-safe."""
+    from texoo_spark.maxent import GISModel, maxent_tokenize_pos
+    import os
+    res = os.path.join(os.path.dirname(__file__), "..", "texoo_spark",
+                       "resources")
+    tok = GISModel(os.path.join(res, "de-token.bin"), "token.model")
+    assert sorted(tok.outcomes) == ["F", "T"]
+    assert len(tok.params) == 67635
+    sent = GISModel(os.path.join(res, "de-sent.bin"), "sent.model")
+    assert sorted(sent.outcomes) == ["n", "s"]
+    # route the German model through the same loop
+    spans = maxent_tokenize_pos("Die Katze schläft, oder?", model=tok)
+    assert len(spans) >= 5
