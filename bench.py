@@ -110,21 +110,28 @@ def main():
     n_tokens = (spark.read.parquet(out_path)
                 .agg(F.sum("n_tokens")).collect()[0][0])
 
-    # BASELINE metric rider: per-turn text-equality pass rate against the
-    # reference-fixture reconstruction, measured on a deterministic sample
-    # of the written output (tok surfaces re-derived from offsets must
-    # reconstruct; turns without markup/newlines must round-trip the input)
+    # BASELINE metric rider: per-turn text-equality pass rate of the hot
+    # mapInArrow lane against the pure-Python reference lane (the one pinned
+    # to the reference JUnit fixtures in tests/) applied to the RAW input
+    # text, on a deterministic sample joined back to the input parquet.
+    from texoo_spark.html import looks_like_html, strip_html
     from texoo_spark.textops import DISCARD, extract_document
-    sample = (spark.read.parquet(out_path)
-              .select("conv_id", "turn_idx", "extracted_text",
-                      "tok_begin", "tok_end")
+    out_cols = (spark.read.parquet(out_path)
+                .select("conv_id", "turn_idx", "extracted_text",
+                        "tok_begin", "tok_end"))
+    raw = spark.read.parquet(input_path).select("conv_id", "turn_idx",
+                                                F.col("text").alias("raw"))
+    sample = (out_cols.join(raw, ["conv_id", "turn_idx"])
               .orderBy("conv_id", "turn_idx").limit(2000).collect())
     passed = 0
     for r in sample:
-        exp = extract_document(r.extracted_text, DISCARD)
+        t = r.raw or ""
+        if looks_like_html(t):
+            t = strip_html(t)["main_text"]
+        exp = extract_document(t, DISCARD)
         ok = (exp.text == r.extracted_text
-              and [t.begin for t in exp.tokens] == list(r.tok_begin)
-              and [t.end for t in exp.tokens] == list(r.tok_end))
+              and [tok.begin for tok in exp.tokens] == list(r.tok_begin)
+              and [tok.end for tok in exp.tokens] == list(r.tok_end))
         passed += bool(ok)
     pass_rate = passed / max(len(sample), 1)
 

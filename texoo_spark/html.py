@@ -28,8 +28,10 @@ from dataclasses import dataclass, field
 
 _TAG = re.compile(r"<[^>]+>")
 # same token boundaries as _TAG but with (closing-slash, name) captured, so
-# the hot loop never re-parses the tag string (_tag_name kept for API use)
-_TAG_NAMED = re.compile(r"<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9-]*)?[^>]*>")
+# the hot loop never re-parses the tag string (_tag_name kept for API use).
+# The lookahead requires at least one non-'>' char, so a literal '<>' in
+# body text stays text exactly as under _TAG ('<[^>]+>').
+_TAG_NAMED = re.compile(r"<(?=[^>])\s*(/?)\s*([a-zA-Z][a-zA-Z0-9-]*)?[^>]*>")
 _SCRIPT = re.compile(r"<(script|style|noscript|svg|template)\b.*?</\1\s*>",
                      re.IGNORECASE | re.DOTALL)
 _COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)

@@ -96,18 +96,22 @@ class GISModel:
 
     def eval(self, context: list[str]) -> list[float]:
         s = [0.0] * len(self.outcomes)
+        nf = [0] * len(self.outcomes)
         get = self.params.get
         for c in context:
             e = get(c)
             if e is not None:
                 for oid, p in zip(e[0], e[1]):
                     s[oid] += p
-        # correction_param is 0.0 in the shipped models; keep the general
-        # GIS form for other models
+                    nf[oid] += 1
+        # correction_param is 0.0 in the four shipped models (test-asserted);
+        # the nonzero branch follows OpenNLP GISModel.eval exactly: each
+        # outcome gets (1 - numfeats[oid]/C) * correctionParam added to its
+        # normalized score before exponentiation.
         cp = self.correction_param
         if cp:
-            probs = [math.exp(v * self._inv + cp * self._inv)
-                     for v in s]
+            probs = [math.exp(v * self._inv + (1.0 - n * self._inv) * cp)
+                     for v, n in zip(s, nf)]
         else:
             probs = [math.exp(v * self._inv) for v in s]
         z = sum(probs)

@@ -45,34 +45,47 @@ def build_bm25_index(docs: DataFrame, id_col: str = "doc_id",
     Returns {"postings": (term, doc_id, tf), "df": (term, df),
              "doclen": (doc_id, dl), "stats": (n_docs, avgdl)}.
     One explode + aggregations; everything shuffles on its natural key.
-    Persist these as bucketed tables for repeated querying at scale.
+    postings/doclen are persist()ed so the corpus is tokenized and
+    aggregated exactly once per index, however many scoring passes (and
+    the stats collect) consume it — call unpersist_bm25_index(idx) when
+    done, or write the tables out bucketed for repeated querying at scale.
     """
     terms = (docs.select(F.col(id_col).alias("doc_id"),
                          F.explode(_terms(text_col)).alias("term")))
     postings = (terms.groupBy("term", "doc_id")
-                .agg(F.count("*").alias("tf")))
+                .agg(F.count("*").alias("tf"))).persist()
     df_tbl = (postings.groupBy("term")
               .agg(F.countDistinct("doc_id").alias("df")))
-    doclen = (terms.groupBy("doc_id").agg(F.count("*").alias("dl")))
+    doclen = (terms.groupBy("doc_id").agg(F.count("*").alias("dl"))).persist()
     stats = doclen.agg(F.count("*").alias("n_docs"),
                        F.avg("dl").alias("avgdl"))
     return {"postings": postings, "df": df_tbl, "doclen": doclen,
             "stats": stats}
 
 
+def unpersist_bm25_index(index: dict[str, DataFrame]) -> None:
+    """Release the cached postings/doclen of a build_bm25_index result."""
+    index["postings"].unpersist()
+    index["doclen"].unpersist()
+
+
 def bm25_scores(docs: DataFrame, queries: DataFrame,
                 k1: float = 1.2, b: float = 0.75,
                 id_col: str = "doc_id", text_col: str = "text",
                 query_id_col: str = "query_id",
-                query_text_col: str = "query_text") -> DataFrame:
+                query_text_col: str = "query_text",
+                index: dict[str, DataFrame] | None = None) -> DataFrame:
     """BM25 score for every (query, doc) pair sharing a term:
     (query_id, doc_id, score).
 
     The queries side is expected to be small relative to the corpus and is
-    broadcast; corpus-side work is one postings build (shuffle on term) and
-    one (query_id, doc_id) aggregation.
+    broadcast; corpus-side work is one postings build (persisted — shared
+    by the stats collect and the scoring plan, so the corpus is tokenized
+    once) and one (query_id, doc_id) aggregation. Pass a prebuilt
+    `index` from build_bm25_index to amortize across calls.
     """
-    idx = build_bm25_index(docs, id_col, text_col)
+    idx = index if index is not None else build_bm25_index(
+        docs, id_col, text_col)
     stats = idx["stats"].collect()[0]
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
 

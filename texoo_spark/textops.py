@@ -139,13 +139,16 @@ def _is_decimal_edge(tok: str, dot: int) -> bool:
 
 
 # Single-pass scanner fast path: alternative 1 is an ASCII-alnum run that is
-# a COMPLETE pre-token (atomic group + boundary lookahead prevents matching a
-# prefix of a mixed run like "don't"), alternative 2 a forced single-char
-# token, alternative 3 (captured) any other pre-token run, which goes through
-# _refine_token. Semantically identical to pre_tokenize + refine, but the
-# dominant all-alphanumeric case allocates no substring and makes no call.
+# a COMPLETE pre-token (the boundary lookahead prevents matching a prefix of
+# a mixed run like "don't"; no possessive group needed — the run class and
+# the lookahead class are disjoint, so backtracking a shorter run can never
+# satisfy the lookahead, keeping the alternative semantically atomic on any
+# Python version), alternative 2 a forced single-char token, alternative 3
+# (captured) any other pre-token run, which goes through _refine_token.
+# Semantically identical to pre_tokenize + refine, but the dominant
+# all-alphanumeric case allocates no substring and makes no call.
 _TOKSCAN = re.compile(
-    r'(?>[A-Za-z0-9]+)(?=[\s"()\[\]{}]|\Z)'
+    r'[A-Za-z0-9]+(?=[\s"()\[\]{}]|\Z)'
     r'|[\n"()\[\]{}]'
     r'|([^\s"()\[\]{}]+)')
 
