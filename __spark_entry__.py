@@ -235,37 +235,66 @@ def q_dedup_prefix(spark, sf_dir):
             .filter(F.col("n_copies") > 1))
 
 
-def q_pk_metric(spark, sf_dir):
-    """V2 Pk at k=3 on the embeddings label sequence vs a 1-shifted
-    hypothesis (window-function formulation of SegmentationEvaluation)."""
-    k = 3
+def _segmentation_eval(spark, sf_dir):
+    """V2/V3 shared lane: embeddings rows grouped into 50-sentence docs,
+    GOLD sections = label runs, PRED sections = runs of the 1-shifted
+    label sequence, evaluated per doc by metrics_spark.evaluate_segmentation
+    (applyInPandas partitioned on doc — the scale-correct plan; no global
+    window)."""
+    from texoo_spark.metrics_spark import evaluate_segmentation
     emb = _load(spark, sf_dir, "embeddings")
-    w = Window.orderBy("vec_id")
-    d = (emb.select("vec_id", "label")
-         .withColumn("ref_k", F.lead("label", k).over(w))
-         .withColumn("hyp", F.coalesce(F.lag("label", 1).over(w),
-                                       F.col("label")))
-         .withColumn("hyp_k", F.lead("label", k - 1).over(w))
-         .filter(F.col("ref_k").isNotNull()))
-    disagree = ((F.col("label") == F.col("ref_k"))
-                != (F.col("hyp") == F.col("hyp_k"))).cast("double")
-    return d.agg(F.round(F.avg(disagree), 6).alias("pk"))
+    w = Window.partitionBy("doc").orderBy("vec_id")
+    base = (emb.select((F.col("vec_id") / 50).cast("long").alias("doc"),
+                       "vec_id", "label")
+            .withColumn("pos", F.row_number().over(w) - 1)
+            .withColumn("hyp", F.coalesce(F.lag("label").over(w),
+                                          F.col("label")))
+            .withColumn("chg_ref", (F.col("pos") == 0)
+                        | (F.col("label") != F.lag("label").over(w)))
+            .withColumn("chg_hyp", (F.col("pos") == 0)
+                        | (F.col("hyp") != F.lag("hyp").over(w))))
+    n_per = base.groupBy("doc").agg(F.count("*").alias("n_sentences"))
+    base = base.join(n_per, "doc")
+    gold = (base.filter("chg_ref")
+            .select("doc", "n_sentences", F.col("pos").alias("sent_begin"),
+                    "label"))
+    pred = (base.filter("chg_hyp")
+            .select("doc", "n_sentences", F.col("pos").alias("sent_begin"),
+                    F.col("hyp").alias("label")))
+    return evaluate_segmentation(gold, pred, doc_key="doc")
+
+
+def q_pk_metric(spark, sf_dir):
+    """V2 Pk per 50-sentence document (SegmentationEvaluation semantics,
+    distributed applyInPandas lane — one shuffle on doc, no global
+    window)."""
+    return (_segmentation_eval(spark, sf_dir)
+            .select("doc", "k", F.round("pk", 6).alias("pk")))
 
 
 def q_retrieval_mrr(spark, sf_dir):
-    """V6 MRR: per-label ranking by vec_id, relevant = vec_id % 3 == 0."""
+    """V6 per-query MRR/AP/recall/P@5/nDCG@10: one retrieval query per
+    label, ranked by a deterministic score (1/(1+vec_id)), relevant =
+    vec_id % 3 == 0; scored by the fixture-exact evaluate_query inside
+    metrics_spark.retrieval_per_query (applyInPandas per query group —
+    the scale shape, no global window)."""
+    from texoo_spark.metrics_spark import retrieval_per_query
     emb = _load(spark, sf_dir, "embeddings")
-    w = Window.partitionBy("label").orderBy("vec_id")
-    ranked = (emb.select("label", "vec_id")
-              .withColumn("rank", F.row_number().over(w))
-              .withColumn("rel", (F.col("vec_id") % 3 == 0).cast("int")))
-    per_q = (ranked.filter(F.col("rel") == 1)
-             .groupBy("label").agg(F.min("rank").alias("first_rank")))
-    all_q = ranked.select("label").distinct()
-    rr = (all_q.join(per_q, "label", "left")
-          .select(F.coalesce(1.0 / F.col("first_rank"), F.lit(0.0))
-                  .alias("rr")))
-    return rr.agg(F.round(F.avg("rr"), 6).alias("mrr"))
+    pred = emb.select(F.col("label").alias("query_id"),
+                      F.col("vec_id").cast("string").alias("result_key"),
+                      (1.0 / (1 + F.col("vec_id"))).alias("score"))
+    gold = (emb.filter(F.col("vec_id") % 3 == 0)
+            .select(F.col("label").alias("query_id"),
+                    F.col("vec_id").cast("string").alias("result_key"),
+                    F.lit(1).alias("relevance")))
+    per_q = retrieval_per_query(pred, gold)
+    return per_q.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.round("mrr", 6).alias("mrr"),
+        F.round("ap", 6).alias("ap"),
+        F.round("recall_n", 6).alias("recall_n"),
+        F.round("p_at_5", 6).alias("p_at_5"),
+        F.round("ndcg_at_10", 6).alias("ndcg_at_10"))
 
 
 def q_knn_cosine(spark, sf_dir):
@@ -753,18 +782,25 @@ def q_classification_prf(spark, sf_dir):
 
 def q_max_segments(spark, sf_dir):
     """A8 MAX segmentation (applySectionsFromTargetLabels), one document
-    per label group via applyInPandas; label matrix = identity over the
-    embedding dims (top-k = arg-top coordinates)."""
+    per label group via applyInPandas. Per-sentence predictions are
+    one-hot at 1 + argmax(|embedding|) (index 0 reserved as the stable
+    tie-filler so the running-mean hysteresis never sticks), which makes
+    the operator's output — segment = run of equal hot labels — exactly
+    predictable by the SQL oracle while the full running-mean/top-k
+    machinery of segments_from_target_labels still executes."""
     import numpy as np
     from texoo_spark.segment import segments_from_target_labels
     emb = _load(spark, sf_dir, "embeddings")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
-        mat = np.abs(np.array([np.asarray(v, dtype=np.float32)
-                               for v in pdf["embedding"]]))
-        segs = segments_from_target_labels(mat, np.eye(mat.shape[1],
-                                                       dtype=np.float32))
+        mat = np.array([np.asarray(v, dtype=np.float64)
+                        for v in pdf["embedding"]])
+        hot = np.abs(mat).argmax(axis=1) + 1
+        n_labels = mat.shape[1] + 2
+        preds = np.zeros((len(hot), n_labels))
+        preds[np.arange(len(hot)), hot] = 1.0
+        segs = segments_from_target_labels(preds, np.eye(n_labels))
         return pd.DataFrame({"label": pdf["label"].iloc[0],
                              "n_segments": [len(segs)]})
 
@@ -957,26 +993,11 @@ def q_weak_matches(spark, sf_dir):
 
 
 def q_wd_metric(spark, sf_dir):
-    """V3 WindowDiff at k=3 on the embeddings label sequence vs a 1-shifted
-    hypothesis: boundary-count disagreement per sliding window, as a pure
-    window-function plan (SegmentationEvaluation.java:133-170 formula)."""
-    k = 3
-    emb = _load(spark, sf_dir, "embeddings")
-    w = Window.orderBy("vec_id")
-    base = (emb.select("vec_id", F.col("label").alias("ref"))
-            .withColumn("hyp", F.coalesce(F.lag("ref", 1).over(w),
-                                          F.col("ref"))))
-    d = base
-    for j in range(k + 1):
-        d = (d.withColumn(f"r{j}", F.lead("ref", j).over(w))
-             .withColumn(f"h{j}", F.lead("hyp", j).over(w)))
-    sum_ref = sum((F.col(f"r{j}") == F.col(f"r{j+1}")).cast("int")
-                  for j in range(k))
-    sum_hyp = sum((F.col(f"h{j}") == F.col(f"h{j+1}")).cast("int")
-                  for j in range(k))
-    return (d.filter(F.col(f"r{k}").isNotNull())
-            .select((sum_ref != sum_hyp).cast("double").alias("dis"))
-            .agg(F.round(F.avg("dis"), 6).alias("wd")))
+    """V3 WindowDiff per 50-sentence document (same distributed per-doc
+    applyInPandas lane as pk_metric; SegmentationEvaluation.java:133-170
+    formula inside metrics.window_diff)."""
+    return (_segmentation_eval(spark, sf_dir)
+            .select("doc", "k", F.round("wd", 6).alias("wd")))
 
 
 # --- rows-only queries (non-SQL-expressible; pytest-gated semantics) ---
@@ -986,7 +1007,7 @@ def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup via sign-random-projection LSH: every
     vector paired with a perturbed copy must be rediscovered."""
     from texoo_spark.dedup import embedding_near_dups
-    emb = _load(spark, sf_dir, "embeddings").limit(200)
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     noised = emb.select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * 1.0001).alias("embedding"))
@@ -999,7 +1020,7 @@ def q_minhash_near_dups(spark, sf_dir):
     """MinHash+LSH near-dup detection: pair each doc with a mutated copy
     (last 2 words dropped); the pipeline must rediscover the pairs."""
     from texoo_spark.dedup import minhash_lsh_candidates
-    docs = _load(spark, sf_dir, "documents").limit(200)
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     words = F.split(F.col("text"), " ")
     mutated = docs.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
@@ -1013,7 +1034,7 @@ def q_minhash_near_dups(spark, sf_dir):
 
 def q_simhash_near_dups(spark, sf_dir):
     from texoo_spark.dedup import simhash_candidates
-    docs = _load(spark, sf_dir, "documents").limit(200)
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     words = F.split(F.col("text"), " ")
     mutated = docs.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
@@ -1033,12 +1054,16 @@ def q_detect_language(spark, sf_dir):
 
 
 def q_ivf_knn(spark, sf_dir):
-    """IVF-bucketed approximate nearest neighbours (scale path for kNN)."""
+    """IVF-bucketed approximate nearest neighbours (scale path for kNN):
+    deterministic stride-seeded cells, float64 assignment, probe the 4
+    nearest of 8 cells, rounded-cosine ranking (cross-engine exact)."""
     from texoo_spark.knn import ivf_assign, ivf_topk
-    emb = _load(spark, sf_dir, "embeddings")
-    with_cells, cents = ivf_assign(emb, n_cells=8)
-    query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return ivf_topk(with_cells, cents, list(query), k=10, probes=4)
+    emb = (_load(spark, sf_dir, "embeddings")
+           .withColumn("emb_d", F.col("embedding").cast("array<double>")))
+    with_cells, cents = ivf_assign(emb, n_cells=8, vec_col="emb_d")
+    query = emb.filter(F.col("vec_id") == 0).select("emb_d").collect()[0][0]
+    return ivf_topk(with_cells, cents, list(query), k=10, probes=4,
+                    vec_col="emb_d", round_decimals=6)
 
 
 def q_bemd_segments(spark, sf_dir):
@@ -1085,17 +1110,19 @@ def q_curated_turns(spark, sf_dir):
 
 def q_knn_batch(spark, sf_dir):
     """R6 batch kNN: 5 query vectors scored against the corpus in ONE
-    broadcast-matrix matmul per Arrow batch (float32), window top-5 per
-    query. Rows-only: f32 vs f64 rounding makes rank membership
-    engine-sensitive; single-query exactness is covered by knn_cosine."""
+    broadcast-matrix matmul per Arrow batch (float64), window top-5 per
+    query ranked on round-6 cosine with vec_id tie-break (cross-engine
+    reproducible rank membership)."""
     import numpy as np
     from texoo_spark.knn import brute_force_topk_batch
     emb = _load(spark, sf_dir, "embeddings")
     qrows = (emb.filter(F.col("vec_id") < 5)
              .orderBy("vec_id").select("embedding").collect())
-    queries = np.array([np.asarray(r[0], dtype=np.float32) for r in qrows])
+    queries = np.array([np.asarray(r[0], dtype=np.float64) for r in qrows])
     return (brute_force_topk_batch(emb, queries, k=5)
-            .select("query_id", "rank", "vec_id"))
+            .select(F.col("query_id").cast("long").alias("query_id"),
+                    F.col("rank").cast("long").alias("rank"),
+                    F.col("vec_id").cast("long").alias("vec_id")))
 
 
 def q_fingerprints(spark, sf_dir):
@@ -1156,15 +1183,158 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_zip": q_span_zip,
         "knn_batch": q_knn_batch,
         "curated_turns": q_curated_turns,
-        # rows-only (non-SQL-expressible)
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "detect_language": q_detect_language,
         "ivf_knn": q_ivf_knn,
-        "bemd_segments": q_bemd_segments,
         "fingerprints": q_fingerprints,
         "embedding_near_dups": q_embedding_near_dups,
+        # rows-only (genuinely non-SQL-expressible: PCA + gaussian smoothing)
+        "bemd_segments": q_bemd_segments,
     }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders for the hash-based operators (FNV-1a / Karp-Rabin /
+# Mersenne-61 universal hashing / SimHash replicated in pure DuckDB SQL so
+# the near-dup lanes get full value-level oracles)
+# ---------------------------------------------------------------------------
+
+_SQL_FNV = ("list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), "
+            "list_transform(range(1, length({s}) + 1), ci -> ascii({s}[ci]))),"
+            " (fh, fb) -> (xor(fh, fb) * 1099511628211)"
+            " % 18446744073709551616)")
+
+_SQL_POW2 = "[" + ", ".join(f"{1 << i}::HUGEINT" for i in range(64)) + "]"
+
+
+def _sql_word_hashes(words_col: str) -> str:
+    """FNV-1a hash of every word in a list column (HUGEINT list)."""
+    return (f"list_transform({words_col}, wq -> "
+            + _SQL_FNV.format(s="wq") + ")")
+
+
+def _sql_shingles(wh_col: str, k: int = 5) -> str:
+    """Karp-Rabin k-shingle hashes over a word-hash list column: the same
+    spec as dedup._shingle_hashes (sum_j W[i+j] * P^(k-1-j) mod 2^64),
+    with the mod-2^64 product done via a 32-bit split so HUGEINT never
+    overflows. Assumes len >= k (true for the documents table, min 10
+    words)."""
+    prime = 1099511628211
+    coefs = [pow(prime, k - 1 - j, 1 << 64) for j in range(k)]
+    terms = " + ".join(
+        f"(({wh_col}[si + {j}] // 4294967296 * {c} % 4294967296)"
+        f" * 4294967296 + ({wh_col}[si + {j}] % 4294967296) * {c})"
+        for j, c in enumerate(coefs))
+    return (f"list_transform(range(1, len({wh_col}) - {k - 2}), si -> "
+            f"({terms}) % 18446744073709551616)")
+
+
+def _sql_minhash_sig(sh_col: str, num_hashes: int = 64) -> str:
+    """64-permutation MinHash signature of a shingle-hash list column,
+    (a*x + b) mod 2^61-1 with the deterministic RandomState(42) params."""
+    from texoo_spark.dedup import _hash_params
+    a, b = _hash_params(num_hashes)
+    pairs = ", ".join(
+        "{'pa': %d::HUGEINT, 'pb': %d::HUGEINT}" % (ai, bi)
+        for ai, bi in zip(a.tolist(), b.tolist()))
+    return (f"list_transform([{pairs}], pp -> "
+            f"list_min(list_transform({sh_col}, sx -> "
+            f"(pp.pa * (sx % 2305843009213693951) + pp.pb)"
+            f" % 2305843009213693951)))")
+
+
+def _sql_bands_share(sig_a: str, sig_b: str, bands: int = 16,
+                     rows: int = 4) -> str:
+    return (f"len(list_filter(range(0, {bands}), bb -> "
+            f"{sig_a}[bb * {rows} + 1 : bb * {rows} + {rows}] = "
+            f"{sig_b}[bb * {rows} + 1 : bb * {rows} + {rows}])) > 0")
+
+
+def _sql_simhash(wh_col: str) -> str:
+    """64-bit SimHash of a word-hash list column (majority vote per bit)."""
+    return (f"list_sum(list_transform(range(0, 64), bi -> "
+            f"CASE WHEN 2 * len(list_filter({wh_col}, hh -> "
+            f"(hh // ({_SQL_POW2})[bi + 1]) % 2 = 1)) > len({wh_col}) "
+            f"THEN ({_SQL_POW2})[bi + 1] ELSE 0::HUGEINT END))")
+
+
+def _sql_hamming(sa: str, sb: str) -> str:
+    return (f"len(list_filter(range(0, 64), bi -> "
+            f"({sa} // ({_SQL_POW2})[bi + 1]) % 2 <> "
+            f"({sb} // ({_SQL_POW2})[bi + 1]) % 2))")
+
+
+def _sql_srp_planes(n_planes: int = 12, dims: int = 64,
+                    seed: int = 42) -> str:
+    """The sign-random-projection plane matrix as a DOUBLE[][] literal
+    (same RandomState(seed) spec as dedup.embedding_near_dups)."""
+    import numpy as np
+    planes = np.random.RandomState(seed).randn(n_planes, dims)
+    return "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]"
+        for row in planes) + "]"
+
+
+def _detect_language_oracle() -> str:
+    """langid.detect_language replicated in SQL: function-word hit rate per
+    language over [a-zà-ÿäöüß]+ word runs, first-language-wins ties in the
+    en/de/fr/es order, 0.05 evidence floor, CJK script short-circuit."""
+    from texoo_spark.langid import _STOPWORDS
+
+    def inlist(lang: str) -> str:
+        return ", ".join("'%s'" % w for w in sorted(_STOPWORDS[lang]))
+
+    def score(lang: str) -> str:
+        return (f"CASE WHEN len(ws) = 0 THEN 0.0 ELSE"
+                f" len(list_filter(ws, x -> x IN ({inlist(lang)})))"
+                f" / CAST(len(ws) AS DOUBLE) END")
+
+    return (
+        "WITH w AS (SELECT doc_id, text, list_filter(string_split_regex("
+        "lower(text), '[^a-zà-ÿäöüß]+'), x -> x <> '') AS ws"
+        " FROM documents),"
+        f" s AS (SELECT doc_id, text, len(ws) AS n, {score('en')} AS s_en,"
+        f" {score('de')} AS s_de, {score('fr')} AS s_fr,"
+        f" {score('es')} AS s_es FROM w)"
+        " SELECT doc_id, CASE"
+        " WHEN text IS NULL OR text = '' THEN ''"
+        " WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'"
+        " WHEN n = 0 THEN ''"
+        " WHEN GREATEST(s_en, s_de, s_fr, s_es) < 0.05 THEN ''"
+        " WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'"
+        " WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'"
+        " WHEN s_fr >= s_es THEN 'fr'"
+        " ELSE 'es' END AS lang_pred FROM s")
+
+
+# Shared CTE skeleton for the per-document segmentation metrics: run-ids
+# (positions_array equivalents) for the GOLD label sequence and the
+# 1-shifted hypothesis, per-doc k = max(floor(mean_gold_seg_len/2 + 0.5), 2)
+# (Java Math.round), and the k-distance window join. Run-id differences give
+# both metrics: Pk disagrees when same-segment-ness differs (dref=0 vs
+# dhyp=0); WindowDiff disagrees when boundary counts differ (dref vs dhyp).
+_SEG_EVAL_SQL = (
+    "WITH base AS (SELECT vec_id // 50 AS doc, vec_id, label,"
+    " ROW_NUMBER() OVER (PARTITION BY vec_id // 50 ORDER BY vec_id) - 1"
+    " AS pos FROM embeddings),"
+    " hh AS (SELECT doc, pos, label,"
+    " COALESCE(LAG(label) OVER (PARTITION BY doc ORDER BY pos), label)"
+    " AS hyp FROM base),"
+    " ch AS (SELECT doc, pos, label, hyp,"
+    " LAG(label) OVER (PARTITION BY doc ORDER BY pos) AS lref,"
+    " LAG(hyp) OVER (PARTITION BY doc ORDER BY pos) AS lhyp FROM hh),"
+    " r AS (SELECT doc, pos,"
+    " SUM(CASE WHEN pos = 0 OR label <> lref THEN 1 ELSE 0 END)"
+    " OVER (PARTITION BY doc ORDER BY pos ROWS UNBOUNDED PRECEDING) AS rr,"
+    " SUM(CASE WHEN pos = 0 OR hyp <> lhyp THEN 1 ELSE 0 END)"
+    " OVER (PARTITION BY doc ORDER BY pos ROWS UNBOUNDED PRECEDING) AS rh"
+    " FROM ch),"
+    " kk AS (SELECT doc, GREATEST(CAST(FLOOR(COUNT(*) / (2.0 * MAX(rr))"
+    " + 0.5) AS INTEGER), 2) AS k FROM r GROUP BY doc),"
+    " p AS (SELECT a.doc, kk.k, (b.rr - a.rr) AS dref, (b.rh - a.rh) AS dhyp"
+    " FROM r a JOIN kk ON kk.doc = a.doc"
+    " JOIN r b ON b.doc = a.doc AND b.pos = a.pos + kk.k)")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1238,24 +1408,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT array_to_string(string_split(text, ' ')[1:3], ' ')"
             " AS prefix_key, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id"
             " FROM documents GROUP BY 1 HAVING COUNT(*) > 1"),
-        "pk_metric": (
-            "WITH d AS (SELECT label,"
-            " LEAD(label, 3) OVER w AS ref_k,"
-            " COALESCE(LAG(label, 1) OVER w, label) AS hyp,"
-            " LEAD(label, 2) OVER w AS hyp_k"
-            " FROM embeddings WINDOW w AS (ORDER BY vec_id))"
-            " SELECT ROUND(AVG(CASE WHEN (label = ref_k) <> (hyp = hyp_k)"
-            " THEN 1.0 ELSE 0.0 END), 6) AS pk FROM d WHERE ref_k IS NOT NULL"),
+        "pk_metric": _SEG_EVAL_SQL + (
+            " SELECT CAST(doc AS VARCHAR) AS doc, MAX(k) AS k,"
+            " ROUND(AVG(CASE WHEN (dref = 0) <> (dhyp = 0)"
+            " THEN 1.0 ELSE 0.0 END), 6) AS pk FROM p GROUP BY doc"),
         "retrieval_mrr": (
-            "WITH ranked AS (SELECT label, vec_id,"
-            " ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rank,"
+            "WITH rk AS (SELECT label AS qid, vec_id,"
+            " ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn,"
             " CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS rel"
             " FROM embeddings),"
-            " firsts AS (SELECT label, MIN(rank) AS first_rank FROM ranked"
-            " WHERE rel = 1 GROUP BY label),"
-            " alls AS (SELECT DISTINCT label FROM ranked)"
-            " SELECT ROUND(AVG(COALESCE(1.0 / first_rank, 0.0)), 6) AS mrr"
-            " FROM alls LEFT JOIN firsts USING (label)"),
+            " c AS (SELECT qid, rn, rel, SUM(rel) OVER (PARTITION BY qid"
+            " ORDER BY rn ROWS UNBOUNDED PRECEDING) AS cum FROM rk),"
+            " t AS (SELECT qid, SUM(rel) AS nrel,"
+            " MAX(CASE WHEN rn = 5 THEN cum END) AS cum5,"
+            " SUM(CASE WHEN rel = 1 AND cum = 1 THEN 1.0 / rn ELSE 0 END)"
+            " AS mrr,"
+            " SUM(CASE WHEN rel = 1 THEN CAST(cum AS DOUBLE) / rn ELSE 0 END)"
+            " AS apsum,"
+            " SUM(CASE WHEN rel = 1 AND rn <= 10 THEN 1.0 / log2(rn + 1)"
+            " ELSE 0 END) AS dcg10"
+            " FROM c GROUP BY qid)"
+            " SELECT CAST(qid AS BIGINT) AS query_id,"
+            " ROUND(mrr, 6) AS mrr,"
+            " ROUND(CASE WHEN nrel > 0 THEN apsum / nrel ELSE 0 END, 6)"
+            " AS ap,"
+            " CAST(CASE WHEN nrel > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)"
+            " AS recall_n,"
+            " ROUND(cum5 / 5.0, 6) AS p_at_5,"
+            " ROUND(CASE WHEN nrel > 0 THEN dcg10 / list_sum(list_transform("
+            " range(1, CAST(LEAST(10, nrel) + 1 AS BIGINT)),"
+            " pp -> 1.0 / log2(pp + 1))) ELSE 0 END, 6) AS ndcg_at_10"
+            " FROM t"),
         "conv_rebase": (
             "WITH t AS (SELECT doc_id, text, doc_id % 50 AS conv,"
             " doc_id // 50 AS turn FROM documents)"
@@ -1467,23 +1650,10 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN gold gd ON p.doc_id = gd.doc_id"
             "  AND p.b < gd.g_end AND p.b + p.l > gd.g_begin)"
             " SELECT doc_id, COUNT(*) AS n_weak FROM weak GROUP BY doc_id"),
-        "wd_metric": (
-            "WITH b AS (SELECT vec_id, label AS ref,"
-            " COALESCE(LAG(label, 1) OVER (ORDER BY vec_id), label) AS hyp"
-            " FROM embeddings),"
-            " d AS (SELECT vec_id, ref AS r0,"
-            " LEAD(ref, 1) OVER w2 AS r1, LEAD(ref, 2) OVER w2 AS r2,"
-            " LEAD(ref, 3) OVER w2 AS r3, hyp AS h0,"
-            " LEAD(hyp, 1) OVER w2 AS h1, LEAD(hyp, 2) OVER w2 AS h2,"
-            " LEAD(hyp, 3) OVER w2 AS h3"
-            " FROM b WINDOW w2 AS (ORDER BY vec_id))"
-            " SELECT ROUND(AVG(CASE WHEN"
-            " (CAST(r0 = r1 AS INT) + CAST(r1 = r2 AS INT)"
-            "  + CAST(r2 = r3 AS INT)) <>"
-            " (CAST(h0 = h1 AS INT) + CAST(h1 = h2 AS INT)"
-            "  + CAST(h2 = h3 AS INT))"
-            " THEN 1.0 ELSE 0.0 END), 6) AS wd"
-            " FROM d WHERE r3 IS NOT NULL"),
+        "wd_metric": _SEG_EVAL_SQL + (
+            " SELECT CAST(doc AS VARCHAR) AS doc, MAX(k) AS k,"
+            " ROUND(AVG(CASE WHEN dref <> dhyp"
+            " THEN 1.0 ELSE 0.0 END), 6) AS wd FROM p GROUP BY doc"),
         "tokens_in_range": (
             "WITH toks AS (SELECT doc_id,"
             " unnest(string_split(text, ' ')) AS tok,"
@@ -1525,6 +1695,139 @@ def oracle_sql() -> dict[str, str]:
             f" ROUND(len(list_filter(string_split(text, ' '),"
             f" w -> w IN ({stop}))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)"
             f" AS stopword_ratio FROM documents"),
+        "max_segments": (
+            "WITH h AS (SELECT label, vec_id, list_position("
+            " list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)),"
+            " list_max(list_transform(CAST(embedding AS DOUBLE[]),"
+            " x -> abs(x)))) AS hot FROM embeddings),"
+            " d AS (SELECT label, hot, LAG(hot) OVER (PARTITION BY label"
+            " ORDER BY vec_id) AS ph FROM h)"
+            " SELECT CAST(label AS INTEGER) AS label,"
+            " CAST(1 + SUM(CASE WHEN ph IS NOT NULL AND hot <> ph"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_segments"
+            " FROM d GROUP BY label"),
+        "knn_batch": (
+            "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])"
+            " AS qv FROM embeddings WHERE vec_id < 5),"
+            " s AS (SELECT qid, e.vec_id, ROUND(list_cosine_similarity("
+            " CAST(e.embedding AS DOUBLE[]), qv), 6) AS c"
+            " FROM embeddings e CROSS JOIN q),"
+            " r AS (SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid"
+            " ORDER BY c DESC, vec_id) AS rank FROM s)"
+            " SELECT CAST(qid AS BIGINT) AS query_id,"
+            " CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id"
+            " FROM r WHERE rank <= 5"),
+        "ivf_knn": (
+            "WITH st AS (SELECT GREATEST(COUNT(*) // 8, 1) AS stride"
+            " FROM embeddings),"
+            " sd AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,"
+            " CAST(embedding AS DOUBLE[]) AS cv FROM embeddings, st"
+            " WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 8),"
+            " sn AS (SELECT cell, list_transform(cv, x -> x / GREATEST("
+            " sqrt(list_inner_product(cv, cv)), 1e-12)) AS cn FROM sd),"
+            " ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+            " FROM embeddings),"
+            " en AS (SELECT vec_id, v, list_transform(v, x -> x / GREATEST("
+            " sqrt(list_inner_product(v, v)), 1e-12)) AS vn FROM ev),"
+            " asg AS (SELECT vec_id, v, cell, ROW_NUMBER() OVER (PARTITION"
+            " BY vec_id ORDER BY list_inner_product(vn, cn) DESC, cell)"
+            " AS arn FROM en CROSS JOIN sn),"
+            " cells AS (SELECT vec_id, v, cell FROM asg WHERE arn = 1),"
+            " qv AS (SELECT v AS q, vn AS qn FROM en WHERE vec_id = 0),"
+            " probe AS (SELECT cell FROM (SELECT cell, ROW_NUMBER() OVER ("
+            " ORDER BY list_inner_product(cn, qn) DESC, cell) AS pr"
+            " FROM sn CROSS JOIN qv) WHERE pr <= 4)"
+            " SELECT vec_id, ROUND(list_cosine_similarity(v, q), 6)"
+            " AS cosine FROM cells JOIN probe USING (cell) CROSS JOIN qv"
+            " ORDER BY cosine DESC, vec_id LIMIT 10"),
+        "detect_language": _detect_language_oracle(),
+        "fingerprints": (
+            "WITH w AS (SELECT doc_id, list_filter(string_split_regex("
+            r"lower(text), '\s+'), x -> x <> '') AS ws FROM documents),"
+            " f AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN 0::HUGEINT"
+            " ELSE list_min(list_transform(list_transform("
+            " range(0, greatest(len(ws) - 8, 0) + 1),"
+            " wi -> array_to_string(ws[wi + 1 : wi + least(8, len(ws))],"
+            " ' ')), s2 -> " + _SQL_FNV.format(s="s2") + ")) END AS h"
+            " FROM w)"
+            " SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808"
+            " THEN h - 18446744073709551616 ELSE h END AS BIGINT)"
+            " AS fingerprint FROM f"),
+        "simhash_near_dups": (
+            "WITH base AS (SELECT doc_id, string_split(lower(text), ' ')"
+            " AS wa FROM documents WHERE doc_id < 200),"
+            " wl AS (SELECT doc_id, wa,"
+            " wa[1 : greatest(len(wa) - 1, 1)] AS wb FROM base),"
+            " hs AS (SELECT doc_id, " + _sql_word_hashes("wa") + " AS ha, "
+            + _sql_word_hashes("wb") + " AS hb FROM wl),"
+            " sg AS (SELECT doc_id, " + _sql_simhash("ha") + " AS sa, "
+            + _sql_simhash("hb") + " AS sb FROM hs),"
+            " hm AS (SELECT doc_id, " + _sql_hamming("sa", "sb")
+            + " AS hamming FROM sg)"
+            " SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,"
+            " CAST(hamming AS INTEGER) AS hamming FROM hm"
+            " WHERE hamming <= 3"),
+        "minhash_near_dups": (
+            "WITH base AS (SELECT doc_id, string_split(lower(text), ' ')"
+            " AS wa FROM documents WHERE doc_id < 200),"
+            " wl AS (SELECT doc_id, wa,"
+            " wa[1 : greatest(len(wa) - 2, 1)] AS wb FROM base),"
+            " hs AS (SELECT doc_id, " + _sql_word_hashes("wa") + " AS ha, "
+            + _sql_word_hashes("wb") + " AS hb FROM wl),"
+            " sh AS (SELECT doc_id, " + _sql_shingles("ha") + " AS sha, "
+            + _sql_shingles("hb") + " AS shb FROM hs),"
+            " sg AS (SELECT doc_id, " + _sql_minhash_sig("sha") + " AS siga, "
+            + _sql_minhash_sig("shb") + " AS sigb FROM sh)"
+            " SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM sg"
+            " WHERE " + _sql_bands_share("siga", "sigb")),
+        "embedding_near_dups": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+            " FROM embeddings WHERE vec_id < 200),"
+            " pp AS (SELECT vec_id, v, list_transform(v, x -> x * 1.0001)"
+            " AS v2 FROM e),"
+            " b AS (SELECT vec_id, v, v2,"
+            " list_transform(range(0, 3), band -> list_sum(list_transform("
+            " range(0, 4), pj -> CASE WHEN list_inner_product("
+            " (" + _sql_srp_planes() + ")[band * 4 + pj + 1], v) > 0"
+            " THEN 1 << pj ELSE 0 END))) AS ca,"
+            " list_transform(range(0, 3), band -> list_sum(list_transform("
+            " range(0, 4), pj -> CASE WHEN list_inner_product("
+            " (" + _sql_srp_planes() + ")[band * 4 + pj + 1], v2) > 0"
+            " THEN 1 << pj ELSE 0 END))) AS cb FROM pp)"
+            " SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM b"
+            " WHERE len(list_filter(range(0, 3), band ->"
+            " ca[band + 1] = cb[band + 1])) > 0"
+            " AND list_cosine_similarity(v, v2) >= 0.999"),
+        "curated_turns": (
+            "WITH ex AS (SELECT doc_id,"
+            " CASE doc_id % 4 WHEN 0 THEN text"
+            " WHEN 1 THEN text || ' end. Stop now.'"
+            " WHEN 2 THEN 'Header line ' || text ELSE text END AS xt,"
+            " CASE WHEN doc_id % 7 = 0 THEN 'conv-skew'"
+            " ELSE 'conv-' || CAST(doc_id // 8 AS VARCHAR) END AS conv_id,"
+            " CAST(doc_id AS INTEGER) AS turn_idx"
+            " FROM documents WHERE doc_id < 200),"
+            " q AS (SELECT * FROM ex"
+            " WHERE len(string_split(xt, ' ')) >= 5"
+            " AND (length(xt) - length(regexp_replace(xt, '[0-9]', '', 'g')))"
+            " / CAST(length(xt) AS DOUBLE) <= 0.3),"
+            " ed AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY xt"
+            " ORDER BY conv_id, turn_idx) AS ern FROM q),"
+            " sv AS (SELECT conv_id, turn_idx, xt,"
+            " conv_id || '#' || CAST(turn_idx AS VARCHAR) AS sk"
+            " FROM ed WHERE ern = 1),"
+            " wl AS (SELECT sk, conv_id, turn_idx,"
+            " string_split(lower(xt), ' ') AS ws FROM sv),"
+            " hs AS (SELECT sk, conv_id, turn_idx, "
+            + _sql_word_hashes("ws") + " AS wh FROM wl),"
+            " sh AS (SELECT sk, conv_id, turn_idx, "
+            + _sql_shingles("wh") + " AS sgl FROM hs),"
+            " sg AS (SELECT sk, conv_id, turn_idx, "
+            + _sql_minhash_sig("sgl") + " AS sig FROM sh),"
+            " losers AS (SELECT DISTINCT r.sk FROM sg l JOIN sg r"
+            " ON l.sk < r.sk AND " + _sql_bands_share("l.sig", "r.sig") + ")"
+            " SELECT conv_id, turn_idx FROM sg"
+            " WHERE sk NOT IN (SELECT sk FROM losers)"),
     }
 
 

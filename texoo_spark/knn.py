@@ -51,13 +51,19 @@ def brute_force_topk(df: DataFrame, query: list[float], k: int = 10,
 
 def brute_force_topk_batch(df: DataFrame, queries: np.ndarray, k: int = 10,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           round_decimals: int | None = 6) -> DataFrame:
     """Top-k per query for a query matrix [Q x D]: numpy matmul per Arrow
-    batch, then a (query_id, score) window to keep k per query."""
-    qn = queries / np.maximum(
-        np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    batch, then a (query_id, score) window to keep k per query.
+
+    The matmul runs in float64 and ranking compares scores ROUNDED to
+    round_decimals with an id tie-break, so rank membership is reproducible
+    across engines/BLAS summation orders (pass None for raw-score ranking)."""
+    q64 = np.asarray(queries, dtype=np.float64)
+    qn = q64 / np.maximum(
+        np.linalg.norm(q64, axis=1, keepdims=True), 1e-12)
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(qn.astype(np.float32))
+    bc = spark.sparkContext.broadcast(qn)
 
     from pyspark.sql.functions import pandas_udf
 
@@ -65,7 +71,7 @@ def brute_force_topk_batch(df: DataFrame, queries: np.ndarray, k: int = 10,
     def scores_udf(vecs: pd.Series) -> pd.Series:
         qm = bc.value  # [Q x D]
         out = []
-        mat = np.array([np.asarray(v, dtype=np.float32) for v in vecs])
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
         norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = (mat / norms) @ qm.T  # [B x Q]
         for row in sims:
@@ -77,7 +83,9 @@ def brute_force_topk_batch(df: DataFrame, queries: np.ndarray, k: int = 10,
                 .select(id_col, F.explode("s").alias("s"))
                 .select(id_col, F.col("s.query_id").alias("query_id"),
                         F.col("s.cosine").alias("cosine")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+    rank_key = (F.round(F.col("cosine"), round_decimals)
+                if round_decimals is not None else F.col("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc(rank_key),
                                                F.col(id_col))
     return (exploded.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
@@ -85,17 +93,29 @@ def brute_force_topk_batch(df: DataFrame, queries: np.ndarray, k: int = 10,
 
 def ivf_assign(df: DataFrame, n_cells: int = 16,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               seed_stride: int | None = None) -> tuple[DataFrame, np.ndarray]:
+               seed_stride: int | None = None,
+               centroids: np.ndarray | None = None
+               ) -> tuple[DataFrame, np.ndarray]:
     """Assign rows to IVF cells. Centroids are seeded deterministically from
     the dataset (every stride-th row by id), so the index is reproducible.
-    Returns (df + cell column, centroid matrix)."""
-    total = df.count()
-    stride = seed_stride or max(total // n_cells, 1)
-    seeds = (df.filter((F.col(id_col) % stride == 0))
-             .orderBy(id_col).limit(n_cells)
-             .select(vec_col).collect())
-    cents = np.array([np.asarray(r[0], dtype=np.float32) for r in seeds])
-    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    Returns (df + cell column, centroid matrix).
+
+    Pass precomputed `centroids` to skip the seeding count/collect — at
+    100x scale compute them once (this one-pass stride seeding is a hash
+    partition by nearest seed, not a trained k-means IVF; that is the
+    documented trade: zero training passes, deterministic rebuild).
+    All math runs in float64 so assignments reproduce across engines."""
+    if centroids is None:
+        total = df.count()
+        stride = seed_stride or max(total // n_cells, 1)
+        seeds = (df.filter((F.col(id_col) % stride == 0))
+                 .orderBy(id_col).limit(n_cells)
+                 .select(vec_col).collect())
+        cents = np.array([np.asarray(r[0], dtype=np.float64) for r in seeds])
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                            1e-12)
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
     bc = df.sparkSession.sparkContext.broadcast(cents)
 
     from pyspark.sql.functions import pandas_udf
@@ -103,7 +123,7 @@ def ivf_assign(df: DataFrame, n_cells: int = 16,
     @pandas_udf("int")
     def cell_udf(vecs: pd.Series) -> pd.Series:
         cm = bc.value
-        mat = np.array([np.asarray(v, dtype=np.float32) for v in vecs])
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
         norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax((mat / norms) @ cm.T, axis=1).astype(int))
 
@@ -112,16 +132,22 @@ def ivf_assign(df: DataFrame, n_cells: int = 16,
 
 def ivf_topk(df_with_cells: DataFrame, centroids: np.ndarray,
              query: list[float], k: int = 10, probes: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             round_decimals: int | None = None) -> DataFrame:
     """Approximate top-k: search only the `probes` cells whose centroids are
     nearest to the query. The cell filter prunes partitions before the
-    cosine projection runs."""
-    q = np.asarray(query, dtype=np.float32)
+    cosine projection runs. With round_decimals, ranking compares rounded
+    cosines (id tie-break) for cross-engine-reproducible membership."""
+    q = np.asarray(query, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
-    order = np.argsort(-(centroids @ qn), kind="stable")[:probes]
+    order = np.argsort(-(np.asarray(centroids, dtype=np.float64) @ qn),
+                       kind="stable")[:probes]
     cells = [int(c) for c in order]
+    cos = cosine_expr(vec_col, query)
+    if round_decimals is not None:
+        cos = F.round(cos, round_decimals)
     return (df_with_cells
             .filter(F.col("cell").isin(cells))
-            .select(F.col(id_col), cosine_expr(vec_col, query).alias("cosine"))
+            .select(F.col(id_col), cos.alias("cosine"))
             .orderBy(F.desc("cosine"), F.col(id_col))
             .limit(k))

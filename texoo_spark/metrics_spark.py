@@ -79,11 +79,14 @@ def evaluate_segmentation(gold: DataFrame, pred: DataFrame,
     return both.groupBy(doc_key).applyInPandas(per_doc, schema)
 
 
-def evaluate_retrieval(pred: DataFrame, gold: DataFrame,
-                       query_key: str = "query_id") -> dict:
-    """Macro-averaged MRR/MAP/P@k/nDCG@k from result tables:
-    pred(query_id, result_key, score), gold(query_id, result_key,
-    relevance ordered desc). One shuffle on query_id."""
+def retrieval_per_query(pred: DataFrame, gold: DataFrame,
+                        query_key: str = "query_id") -> DataFrame:
+    """Per-query MRR/AP/recall/P@k/nDCG@k as a DataFrame (query_key, mrr,
+    ap, recall_n, p_at_1, p_at_3, p_at_5, p_at_10, ndcg_at_10) from result
+    tables pred(query_id, result_key, score), gold(query_id, result_key,
+    relevance ordered desc). One shuffle on query_id; each query group is
+    scored by the fixture-exact evaluate_query inside applyInPandas — the
+    scale shape for 10^9 queries (no global window, no driver loop)."""
     p = pred.select(query_key, "result_key",
                     F.col("score").cast("double").alias("score"),
                     F.lit(None).cast("int").alias("relevance"),
@@ -116,7 +119,13 @@ def evaluate_retrieval(pred: DataFrame, gold: DataFrame,
             "ndcg_at_10": [q["ndcg_k"][10]],
         })
 
-    per_q = both.groupBy(query_key).applyInPandas(per_query, schema)
+    return both.groupBy(query_key).applyInPandas(per_query, schema)
+
+
+def evaluate_retrieval(pred: DataFrame, gold: DataFrame,
+                       query_key: str = "query_id") -> dict:
+    """Macro-averaged MRR/MAP/P@k/nDCG@k over retrieval_per_query."""
+    per_q = retrieval_per_query(pred, gold, query_key)
     row = per_q.agg(*[F.avg(c).alias(c) for c in
                       ("mrr", "ap", "recall_n", "p_at_1", "p_at_3",
                        "p_at_5", "p_at_10", "ndcg_at_10")]).collect()[0]
