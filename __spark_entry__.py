@@ -496,6 +496,30 @@ def q_tagged_mentions(spark, sf_dir):
         "doc_id", F.size("m_begin").cast("long").alias("n_mentions"))
 
 
+def q_tagged_mentions_trained(spark, sf_dir):
+    """A2 trained-model lane: the SAME distributed harness as
+    tagged_mentions but with weights learned deterministically from the
+    reference CoNLL2003 fixture (surface + letter-trigram features,
+    full-batch softmax GD — train-set span F1 = 1.0, pinned in
+    tests/test_tagger.py). The oracle re-scores every token in SQL with
+    the trained weights inlined (trigram weight maps + surface-pattern
+    partials) and re-counts decoded spans."""
+    from texoo_spark.extract import extract_discard_udf
+    from texoo_spark.tagger import tag_mentions, train_conll_tagger
+    docs = _load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    text2 = F.concat(
+        F.initcap(F.array_join(F.slice(words, 1, 3), " ")), F.lit(" "),
+        F.array_join(F.slice(words, 4, F.greatest(F.size(words) - 3,
+                                                  F.lit(1))), " "))
+    extracted = (docs.withColumn("doc", extract_discard_udf(text2))
+                 .select("doc_id", "doc.*"))
+    tagger, _enc = train_conll_tagger()
+    tagged = tag_mentions(extracted, tagger)
+    return tagged.select(
+        "doc_id", F.size("m_begin").cast("long").alias("n_mentions"))
+
+
 def q_tokens_in_range(spark, sf_dir):
     """R2 range query: tokens in [10, 40) per doc under BOTH reference
     semantics — enclosed and boundary-expanding (Document.java:156-174) —
@@ -1183,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_zip": q_span_zip,
         "knn_batch": q_knn_batch,
         "curated_turns": q_curated_turns,
+        "tagged_mentions_trained": q_tagged_mentions_trained,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "detect_language": q_detect_language,
@@ -1274,6 +1299,60 @@ def _sql_srp_planes(n_planes: int = 12, dims: int = 64,
     return "[" + ", ".join(
         "[" + ", ".join(repr(float(x)) for x in row) + "]"
         for row in planes) + "]"
+
+
+def _tagged_trained_oracle() -> str:
+    """The trained CoNLL tagger's forward pass + BIO2 span counting in SQL:
+    per-class scores = bias + surface-pattern partial (tokens here are pure
+    alphabetic, so only three surface patterns occur) + trigram-weight map
+    lookups over the token's distinct padded trigrams; tag = argmax with
+    numpy's first-index tie-break (O, B, I CASE order); span count follows
+    decode_bio2 (B always starts; I starts only at doc start or after O)."""
+    from texoo_spark.tagger import SURFACE_SIZE, train_conll_tagger
+    tagger, enc = train_conll_tagger()
+    w, b = tagger.weights, tagger.bias
+    # surface partials for the three reachable patterns
+    s_lower = w[1] + w[3]          # startsLower + allLower
+    s_cap_multi = w[0]             # startsUpper
+    s_cap_single = w[0] + w[2]     # startsUpper + allUpper
+    tri = {g: w[SURFACE_SIZE + i] for g, i in enc.vocab.items()}
+
+    def wmap(c: int) -> str:
+        entries = ", ".join(
+            "'%s': CAST(%r AS DOUBLE)" % (g.replace("'", "''"), float(v[c]))
+            for g, v in tri.items())
+        return "MAP {%s}" % entries
+
+    def score(c: int) -> str:
+        return (
+            f"CAST({float(b[c])!r} AS DOUBLE)"
+            f" + CASE WHEN regexp_matches(tok, '^[A-Z]') THEN"
+            f" CASE WHEN length(tok) = 1 THEN"
+            f" CAST({float(s_cap_single[c])!r} AS DOUBLE)"
+            f" ELSE CAST({float(s_cap_multi[c])!r} AS DOUBLE) END"
+            f" ELSE CAST({float(s_lower[c])!r} AS DOUBLE) END"
+            f" + COALESCE(list_sum(list_transform(tris, tg ->"
+            f" COALESCE(({wmap(c)})[tg][1], 0.0))), 0.0)")
+
+    return (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w"
+        " FROM documents),"
+        " tk0 AS (SELECT doc_id, unnest(w) AS tok0,"
+        " unnest(range(1, len(w) + 1)) AS ti FROM d),"
+        " tk AS (SELECT doc_id, ti, CASE WHEN ti <= 3 THEN"
+        " upper(tok0[1:1]) || tok0[2:] ELSE tok0 END AS tok FROM tk0),"
+        " tr AS (SELECT doc_id, ti, tok, list_distinct(list_transform("
+        " range(1, length('#' || lower(tok) || '#') - 1),"
+        " gi -> ('#' || lower(tok) || '#')[gi : gi + 2])) AS tris FROM tk),"
+        f" sc AS (SELECT doc_id, ti, {score(0)} AS s_o, {score(1)} AS s_b,"
+        f" {score(2)} AS s_i FROM tr),"
+        " tg AS (SELECT doc_id, ti, CASE WHEN s_o >= s_b AND s_o >= s_i"
+        " THEN 'O' WHEN s_b >= s_i THEN 'B' ELSE 'I' END AS tag FROM sc),"
+        " sp AS (SELECT doc_id, tag, LAG(tag) OVER (PARTITION BY doc_id"
+        " ORDER BY ti) AS pt FROM tg)"
+        " SELECT doc_id, CAST(SUM(CASE WHEN tag = 'B' OR (tag = 'I'"
+        " AND (pt IS NULL OR pt = 'O')) THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_mentions FROM sp GROUP BY doc_id")
 
 
 def _detect_language_oracle() -> str:
@@ -1741,6 +1820,7 @@ def oracle_sql() -> dict[str, str]:
             " AS cosine FROM cells JOIN probe USING (cell) CROSS JOIN qv"
             " ORDER BY cosine DESC, vec_id LIMIT 10"),
         "detect_language": _detect_language_oracle(),
+        "tagged_mentions_trained": _tagged_trained_oracle(),
         "fingerprints": (
             "WITH w AS (SELECT doc_id, list_filter(string_split_regex("
             r"lower(text), '\s+'), x -> x <> '') AS ws FROM documents),"

@@ -43,3 +43,50 @@ def test_tag_mentions_spark():
     assert surfaces == ["Berlin", "Madrid"]
     assert all(lb == "GENERIC" for lb in out.m_label)
     assert all(c > 0.5 for c in out.m_confidence)
+
+
+# ---------------------------------------------------------------------------
+# Trained CoNLL lane (A2, round 2): deterministic training + pinned train F1
+# vs MentionAnnotatorEvaluation semantics (STRONG span match, V1 evaluator)
+# ---------------------------------------------------------------------------
+
+def test_train_conll_tagger_deterministic_and_pinned_f1():
+    import numpy as np
+    from texoo_spark import tagger as tg
+    from texoo_spark.metrics import ner_counts, prf1
+    from texoo_spark.spans import decode_bio2
+
+    tagger, enc = tg.train_conll_tagger()
+    assert enc.size == 244
+    assert tagger.weights.shape == (tg.SURFACE_SIZE + 244, len(tg.TAGS))
+
+    # bit-identical retrain (zero init, full-batch GD, float64, no RNG)
+    tg._TRAINED_CACHE.clear()
+    tagger2, _ = tg.train_conll_tagger()
+    assert np.array_equal(tagger.weights, tagger2.weights)
+    assert np.array_equal(tagger.bias, tagger2.bias)
+
+    # train-set STRONG span F1 pinned at 1.0 (16 gold mentions, 0 fp, 0 fn)
+    tp = fp = fn = 0
+    for toks, tags, bounds in tg.conll_fixture_examples():
+        gold = [(s, e) for s, e, _, _ in decode_bio2(tags, None, None,
+                                                     bounds)]
+        pred = [(s, e) for s, e, _, _ in tagger.tag_tokens(toks, bounds)]
+        a, b, c = ner_counts(pred, gold, "STRONG")
+        tp += a
+        fp += b
+        fn += c
+    assert (tp, fp, fn) == (16, 0, 0)
+    p, r, f1 = prf1(tp, fp, fn)
+    assert (p, r, f1) == (1.0, 1.0, 1.0)
+
+
+def test_trained_tagger_generalizes_capitalization():
+    """On unseen all-lowercase tokens the trained model must predict O; a
+    capitalized fixture word must open a mention span."""
+    from texoo_spark import tagger as tg
+    tagger, _ = tg.train_conll_tagger()
+    spans = tagger.tag_tokens(["the", "quick", "table"], [3])
+    assert spans == []
+    spans = tagger.tag_tokens(["LONDON", "beat", "them"], [3])
+    assert [s[:2] for s in spans] == [(0, 1)]

@@ -38,14 +38,28 @@ TAGGED_SCHEMA = StructType([
 
 
 class LinearTagger:
-    """Logistic token tagger over surface features; weights pluggable."""
+    """Logistic token tagger; weights and featurizer pluggable.
+
+    The default featurizer is the 11-flag SurfaceEncoder; the trained CoNLL
+    lane (train_conll_tagger) adds a letter-trigram vocabulary block
+    (SurfaceEncoder + LetterNGramEncoder, the reference MentionTagger's
+    deterministic feature subset — MentionTagger.java builds surface +
+    embedding tensors; we use surface + trigram one-hots, its
+    network-free analogue)."""
 
     def __init__(self, weights: np.ndarray, bias: np.ndarray,
-                 label: str = "GENERIC"):
-        assert weights.shape == (SURFACE_SIZE, len(TAGS))
-        self.weights = weights.astype(np.float32)
-        self.bias = bias.astype(np.float32)
+                 label: str = "GENERIC", featurizer=None):
+        assert weights.shape[1] == len(TAGS)
+        self.weights = weights.astype(np.float64)
+        self.bias = bias.astype(np.float64)
         self.label = label
+        self.featurizer = featurizer
+
+    def featurize(self, tokens: list[str]) -> np.ndarray:
+        if self.featurizer is not None:
+            return self.featurizer(tokens)
+        return np.vstack([surface_features(t) for t in tokens]
+                         ).astype(np.float64)
 
     @classmethod
     def capitalized_mention_baseline(cls) -> "LinearTagger":
@@ -74,13 +88,99 @@ class LinearTagger:
         """Token texts -> mention spans (tok_start, tok_end, label, conf)."""
         if not tokens:
             return []
-        feats = np.vstack([surface_features(t) for t in tokens])
+        feats = self.featurize(tokens)
         probs = self.forward(feats)
         best = probs.argmax(axis=1)
         tags = [TAGS[i] for i in best]
         confs = [float(probs[i, j]) for i, j in enumerate(best)]
         return decode_bio2(tags, None, confs, sent_bounds,
                            default_type=self.label)
+
+
+# ---------------------------------------------------------------------------
+# Trained model lane (A2): deterministic softmax training on the reference
+# CoNLL fixture (texoo-entity-recognition/src/test/resources/datasets/
+# CoNLL2003.conll, the corpus MentionAnnotatorTest trains against).
+# Zero init + full-batch gradient descent + float64 => bit-identical weights
+# on every machine; no RNG anywhere.
+# ---------------------------------------------------------------------------
+
+CONLL_FIXTURE = ("/root/reference/texoo-entity-recognition/src/test/"
+                 "resources/datasets/CoNLL2003.conll")
+
+
+def conll_fixture_examples(path: str = CONLL_FIXTURE):
+    """[(tokens, bio2_tags, sent_bounds)] per fixture document."""
+    from texoo_spark.readers import read_conll
+    with open(path, encoding="utf-8") as f:
+        docs = read_conll(f.readlines())
+    out = []
+    for d in docs:
+        doc = d["doc"]
+        toks = [t.text for t in doc.tokens]
+        bounds = [s.tok_end for s in doc.sentences]
+        out.append((toks, d["bio2"], bounds))
+    return out
+
+
+def make_surface_trigram_featurizer(ngram_encoder):
+    """Featurizer: [surface(11) | trigram one-hot(|vocab|)] per token."""
+    def featurize(tokens: list[str]) -> np.ndarray:
+        surf = np.vstack([surface_features(t) for t in tokens])
+        tri = np.vstack([ngram_encoder.encode(t) for t in tokens])
+        return np.hstack([surf, tri]).astype(np.float64)
+    return featurize
+
+
+def train_linear_tagger(examples, featurizer, n_features: int,
+                        epochs: int = 200, lr: float = 0.5,
+                        l2: float = 1e-4) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic multinomial-logistic training (full-batch GD,
+    softmax cross-entropy, zero init, float64)."""
+    xs, ys = [], []
+    for toks, tags, _bounds in examples:
+        if not toks:
+            continue
+        xs.append(featurizer(toks))
+        ys.extend(TAGS.index((t or "O")[0].upper()) for t in tags)
+    x = np.vstack(xs)
+    y = np.asarray(ys)
+    n = len(y)
+    yh = np.zeros((n, len(TAGS)))
+    yh[np.arange(n), y] = 1.0
+    w = np.zeros((n_features, len(TAGS)))
+    b = np.zeros(len(TAGS))
+    for _ in range(epochs):
+        logits = x @ w + b
+        logits -= logits.max(axis=1, keepdims=True)
+        e = np.exp(logits)
+        p = e / e.sum(axis=1, keepdims=True)
+        g = (p - yh) / n
+        w -= lr * (x.T @ g + l2 * w)
+        b -= lr * g.sum(axis=0)
+    return w, b
+
+
+_TRAINED_CACHE: dict[str, tuple] = {}
+
+
+def train_conll_tagger(path: str = CONLL_FIXTURE,
+                       epochs: int = 200, lr: float = 0.5):
+    """LinearTagger trained on the reference CoNLL fixture, plus its
+    trigram encoder (cached per process; training is deterministic, so
+    every executor/driver reproduces identical weights)."""
+    from texoo_spark.encoders import LetterNGramEncoder
+    key = f"{path}:{epochs}:{lr}"
+    if key not in _TRAINED_CACHE:
+        examples = conll_fixture_examples(path)
+        enc = LetterNGramEncoder(n=3).train(
+            [t for toks, _, _ in examples for t in toks])
+        featurizer = make_surface_trigram_featurizer(enc)
+        w, b = train_linear_tagger(examples, featurizer,
+                                   SURFACE_SIZE + enc.size, epochs, lr)
+        tagger = LinearTagger(w, b, label="MENTION", featurizer=featurizer)
+        _TRAINED_CACHE[key] = (tagger, enc)
+    return _TRAINED_CACHE[key]
 
 
 def make_tagger_udf(tagger: LinearTagger):
