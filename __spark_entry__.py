@@ -682,6 +682,74 @@ def q_choi_segments(spark, sf_dir):
                     F.col("w.last_segment").alias("last_segment")))
 
 
+def q_multiseg_sections(spark, sf_dir):
+    """S7 MultiSeg reader, distributed: per doc, a 3-line pre-tokenized
+    file (5/5/rest words) plus a label covering lines 0-0 and 2-2 ONLY is
+    parsed by read_multiseg in a pandas UDF — the uncovered middle line
+    must be dropped (MultiSegReader line-range semantics), yielding 2
+    sections whose last sentence is the words from 11 on."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_sections long, last_sent string")
+    def parse_udf(texts: pd.Series) -> pd.DataFrame:
+        from texoo_spark.readers import read_multiseg
+        label = "t 0::0-0 0::2-2"
+        ns, ls = [], []
+        for t in texts:
+            secs = read_multiseg(t, label, 0)
+            ns.append(len(secs))
+            ls.append(secs[-1]["sentences"][-1] if secs else "")
+        return pd.DataFrame({"n_sections": ns, "last_sent": ls})
+
+    docs = _load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    wholetext = F.concat(
+        F.array_join(F.slice(words, 1, 5), " "), F.lit("\n"),
+        F.array_join(F.slice(words, 6, 5), " "), F.lit("\n"),
+        F.array_join(F.slice(words, 11, F.size(words) - 10), " "))
+    return (docs.filter(F.size(words) >= 12)
+            .withColumn("w", parse_udf(wholetext))
+            .select("doc_id", F.col("w.n_sections").alias("n_sections"),
+                    F.col("w.last_sent").alias("last_sent")))
+
+
+def q_wikicities_docs(spark, sf_dir):
+    """S8 WikiCities reader, distributed: per doc, 4 dataset lines (2
+    TOP-LEVEL + 2 unheaded) parsed twice — with and without
+    skipTopLevelSegment — returning both section counts and the unheaded
+    section's assembled ' .'-joined text."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_skip long, n_keep long, body_text string")
+    def parse_udf(l1: pd.Series, l2: pd.Series, l3: pd.Series,
+                  l4: pd.Series) -> pd.DataFrame:
+        from texoo_spark.readers import read_wikicities
+        ns, nk, bt = [], [], []
+        for a, b, c, d in zip(l1, l2, l3, l4):
+            lines = [a, b, c, d]
+            skip = read_wikicities(lines, skip_top_level=True)
+            keep = read_wikicities(lines, skip_top_level=False)
+            ns.append(sum(len(x["sections"]) for x in skip))
+            nk.append(sum(len(x["sections"]) for x in keep))
+            bt.append(skip[0]["sections"][-1]["text"] if skip else "")
+        return pd.DataFrame({"n_skip": ns, "n_keep": nk, "body_text": bt})
+
+    docs = _load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    j = lambda a, n: F.array_join(F.slice(words, a, n), " ")  # noqa: E731
+    line = lambda sno, head, body: F.concat(  # noqa: E731
+        F.col("doc_id").cast("string"), F.lit(f",{sno},{head}"), body)
+    return (docs.filter(F.size(words) >= 12)
+            .withColumn("w", parse_udf(
+                line(1, "TOP-LEVEL SEGMENT", j(1, 3)),
+                line(2, "TOP-LEVEL SEGMENT", j(4, 3)),
+                line(3, "", j(7, 3)),
+                line(4, "", j(10, 3))))
+            .select("doc_id", F.col("w.n_skip").alias("n_skip"),
+                    F.col("w.n_keep").alias("n_keep"),
+                    F.col("w.body_text").alias("body_text")))
+
+
 def q_wned_mentions(spark, sf_dir):
     """S9 WNED XML reader, distributed: per doc, a 2-annotation WNED XML
     is parsed by read_wned_annotations inside a pandas UDF."""
@@ -1192,6 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wikisection_gold": q_wikisection_gold,
         "choi_segments": q_choi_segments,
         "wned_mentions": q_wned_mentions,
+        "multiseg_sections": q_multiseg_sections,
+        "wikicities_docs": q_wikicities_docs,
         "tokenized_roundtrip": q_tokenized_roundtrip,
         "minimal_lowercase_keys": q_minimal_lowercase_keys,
         "bow_vocab": q_bow_vocab,
@@ -1708,6 +1778,18 @@ def oracle_sql() -> dict[str, str]:
         "conll_mentions": (
             "SELECT doc_id, CAST((len(string_split(text, ' ')) + 2) // 3"
             " AS BIGINT) AS n_mentions FROM documents"),
+        "multiseg_sections": (
+            "SELECT doc_id, CAST(2 AS BIGINT) AS n_sections,"
+            " array_to_string(string_split(text, ' ')"
+            " [11:len(string_split(text, ' '))], ' ') AS last_sent"
+            " FROM documents WHERE len(string_split(text, ' ')) >= 12"),
+        "wikicities_docs": (
+            "SELECT doc_id, CAST(1 AS BIGINT) AS n_skip,"
+            " CAST(2 AS BIGINT) AS n_keep,"
+            " array_to_string(string_split(text, ' ')[7:9], ' ') || ' . ' ||"
+            " array_to_string(string_split(text, ' ')[10:12], ' ') || ' .'"
+            " AS body_text"
+            " FROM documents WHERE len(string_split(text, ' ')) >= 12"),
         "weak_matches": (
             "WITH toks AS (SELECT doc_id,"
             " unnest(string_split(text, ' ')) AS tok,"

@@ -48,3 +48,97 @@ def test_document_json_roundtrip(tmp_path):
     assert len(d.sentences) == 2
     assert d.sentences[0].begin == 0
     assert d.end == len(d.text)
+
+
+# ---------------------------------------------------------------------------
+# round 2: E5 CharClassEncoder parity, E8 word2vec .bin reader,
+# annotator bundle save/load round-trip
+# ---------------------------------------------------------------------------
+
+def test_char_class_encoder_histogram():
+    """Parity with CharClassEncoder.java on a fixture token set, INCLUDING
+    the upstream isOpeningQuote/isClosingQuote copy-paste quirk (both test
+    the symbols list, java:91-99)."""
+    import numpy as np
+    from texoo_spark.encoders import CHAR_CLASS_SIZE, char_class_features
+
+    def v(*idx):
+        out = np.zeros(CHAR_CLASS_SIZE, dtype=np.float32)
+        out[list(idx)] = 1.0
+        return out
+
+    cases = {
+        "#": v(0, 2, 3),      # symbol AND (quirk) both quote flags
+        "$": v(0, 2, 3),
+        "&": v(1), "+": v(1), "=": v(1),
+        '"': np.zeros(CHAR_CLASS_SIZE, dtype=np.float32),  # quirk: no flag
+        "'": np.zeros(CHAR_CLASS_SIZE, dtype=np.float32),
+        "(": v(4), "-LRB-": v(4),
+        ")": v(5), "-RRB-": v(5),
+        "/": v(6), "\\": v(6), "|": v(6),
+        ",": v(7),
+        "-": v(8), "--": v(8), "–": v(8),
+        ".": v(9), "!": v(9), "?": v(9),
+        ":": v(10), ";": v(10), "...": v(10),
+        "word": np.zeros(CHAR_CLASS_SIZE, dtype=np.float32),
+        " . ": v(9),          # java trims before lookup
+    }
+    for tok, expected in cases.items():
+        got = char_class_features(tok)
+        assert np.array_equal(got, expected), (tok, got)
+
+
+def test_word2vec_binary_roundtrip(tmp_path):
+    import numpy as np
+    from texoo_spark.encoders import (read_word2vec_binary,
+                                      write_word2vec_binary)
+    words = ["alpha", "beta", "gamma", "über"]
+    mat = np.arange(12, dtype=np.float32).reshape(4, 3) / 7.0
+    p = str(tmp_path / "tiny.bin")
+    write_word2vec_binary(p, words, mat)
+    lk = read_word2vec_binary(p)
+    assert lk.size == 3
+    for i, w in enumerate(words):
+        assert np.array_equal(lk.encode(w), mat[i])
+    assert np.array_equal(lk.encode("missing"), np.zeros(3,
+                                                         dtype=np.float32))
+    toks = lk.encode_tokens(["beta", "nope", "über"])
+    assert np.array_equal(toks[0], mat[1])
+    assert np.array_equal(toks[2], mat[3])
+    # golden bytes: header + first word
+    raw = open(p, "rb").read()
+    assert raw.startswith(b"4 3\nalpha ")
+
+
+@pytest.mark.spark
+def test_pipeline_bundle_roundtrip(tmp_path):
+    """Annotator.writeModel/AnnotatorFactory equivalent: descriptor JSON
+    round-trip drives the restored pipeline to identical output."""
+    from texoo_spark.annotator import (extraction_pipeline,
+                                       gazetteer_annotator, load_pipeline,
+                                       save_pipeline)
+    from texoo_spark.session import get_spark
+    spark = get_spark("texoo-bundle-test", master="local[2]",
+                      shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.createDataFrame(
+        [("c", 0, "user", "Aspirin is a drug. Take the drug daily.", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string")
+    pipe = extraction_pipeline(strip_html=False)
+    pipe.stages.append(gazetteer_annotator(["Aspirin", "drug"]))
+    path = str(tmp_path / "bundle.json")
+    save_pipeline(pipe, path)
+    restored = load_pipeline(path)
+    a = pipe.run(df).collect()
+    b = restored.run(df).collect()
+    assert a == b
+    assert len(a[0].m_begin) == 3
+    assert restored.provenance()["stages"] == pipe.provenance()["stages"]
+
+
+def test_save_pipeline_rejects_adhoc_stage(tmp_path):
+    from texoo_spark.annotator import Annotator, Pipeline, save_pipeline
+    p = Pipeline()
+    p.stages.append(Annotator("adhoc", lambda df: df))
+    with pytest.raises(ValueError):
+        save_pipeline(p, str(tmp_path / "x.json"))

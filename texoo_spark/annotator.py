@@ -19,10 +19,14 @@ from texoo_spark.pipeline import CODE_VERSION
 
 @dataclass
 class Annotator:
-    """A named DataFrame transformation stage."""
+    """A named DataFrame transformation stage. type_name identifies the
+    registered builder that can reconstruct the stage from params
+    (AnnotatorFactory.fromXML equivalent); empty for ad-hoc stages, which
+    then cannot be serialized."""
     name: str
     fn: Callable[[DataFrame], DataFrame]
     params: dict = field(default_factory=dict)
+    type_name: str = ""
 
     def annotate(self, df: DataFrame) -> DataFrame:
         return self.fn(df)
@@ -51,18 +55,89 @@ class Pipeline:
         }
 
 
+# ---------------------------------------------------------------------------
+# Model-bundle save/load (Annotator.writeModel/readModel +
+# AnnotatorFactory, texoo-core/.../annotator/Annotator.java:121-133,
+# AnnotatorFactory.java): a pipeline serializes to a JSON descriptor of
+# (type, params) stages; loading rebuilds each stage through the builder
+# registry, so the restored pipeline produces identical output. Builders
+# must be registered (deterministic reconstruction — trained components
+# either carry their parameters in params or retrain deterministically).
+# ---------------------------------------------------------------------------
+
+ANNOTATOR_REGISTRY: dict[str, Callable[..., "Annotator"]] = {}
+
+
+def register_annotator(type_name: str):
+    def deco(builder: Callable[..., "Annotator"]):
+        ANNOTATOR_REGISTRY[type_name] = builder
+        return builder
+    return deco
+
+
+def save_pipeline(pipeline: "Pipeline", path: str) -> None:
+    """Write the pipeline descriptor JSON (the bundle's annotator.xml
+    equivalent). Raises on unregistered ad-hoc stages."""
+    import json
+    for s in pipeline.stages:
+        if not s.type_name:
+            raise ValueError(f"stage '{s.name}' has no registered type; "
+                             "cannot serialize")
+    doc = {"code_version": CODE_VERSION,
+           "stages": [{"type": s.type_name, "name": s.name,
+                       "params": s.params} for s in pipeline.stages]}
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(doc, f, indent=2, sort_keys=True)
+
+
+def load_pipeline(path: str) -> "Pipeline":
+    """Rebuild a pipeline from its descriptor via the builder registry."""
+    import json
+    with open(path, encoding="utf-8") as f:
+        doc = json.load(f)
+    p = Pipeline()
+    for st in doc["stages"]:
+        builder = ANNOTATOR_REGISTRY.get(st["type"])
+        if builder is None:
+            raise KeyError(f"no registered annotator type '{st['type']}'")
+        p.stages.append(builder(**st["params"]))
+    return p
+
+
+@register_annotator("extract")
+def extract_annotator(newlines: str = "DISCARD",
+                      strip_html: bool = True) -> Annotator:
+    from texoo_spark.pipeline import extract_turns
+    return Annotator(
+        "extract",
+        lambda df: extract_turns(df, newlines=newlines,
+                                 strip_html_first=strip_html),
+        {"newlines": newlines, "strip_html": strip_html}, "extract")
+
+
+@register_annotator("tagger")
+def tagger_annotator(trained: bool = False) -> Annotator:
+    """A2 stage: mention tagging with the baseline or the deterministic
+    CoNLL-trained model (retrained on load — identical weights, so the
+    restored bundle reproduces identical output)."""
+    from texoo_spark.tagger import (LinearTagger, tag_mentions,
+                                    train_conll_tagger)
+
+    def fn(df: DataFrame) -> DataFrame:
+        tagger = (train_conll_tagger()[0] if trained
+                  else LinearTagger.capitalized_mention_baseline())
+        return tag_mentions(df, tagger)
+
+    return Annotator("tagger", fn, {"trained": trained}, "tagger")
+
+
 def extraction_pipeline(newlines: str = "DISCARD",
                         strip_html: bool = True) -> Pipeline:
     """The standard transcript extraction pipeline (Annotator.annotate
     equivalent for the hot path, SURVEY.md §3.1)."""
-    from texoo_spark import textops
-    from texoo_spark.pipeline import extract_turns
-
-    return Pipeline().add(
-        "extract",
-        lambda df: extract_turns(df, newlines=newlines,
-                                 strip_html_first=strip_html),
-        newlines=newlines, strip_html=strip_html)
+    p = Pipeline()
+    p.stages.append(extract_annotator(newlines, strip_html))
+    return p
 
 
 def route_by_language(df: DataFrame,
@@ -85,11 +160,14 @@ def route_by_language(df: DataFrame,
     return out
 
 
+@register_annotator("gazetteer")
 def gazetteer_annotator(terms: list[str],
                         case_strategy: str = "CASE_SENSITIVE",
                         label: str = "GENERIC") -> Annotator:
     """MatchingAnnotator-equivalent stage: adds m_begin/m_end/m_label
-    arrays of SILVER mention spans."""
+    arrays of SILVER mention spans. The full term list rides in params so
+    the stage round-trips through save_pipeline/load_pipeline (the
+    MatchingAnnotator bundle stores its word list the same way)."""
     from pyspark.sql import functions as F
     from texoo_spark.udfs import make_gazetteer_udf
     gaz = make_gazetteer_udf(terms, case_strategy)
@@ -101,5 +179,5 @@ def gazetteer_annotator(terms: list[str],
                 .select("*", "m.*").drop("m"))
 
     return Annotator("gazetteer", fn,
-                     {"terms": len(terms), "case_strategy": case_strategy,
-                      "label": label})
+                     {"terms": list(terms), "case_strategy": case_strategy,
+                      "label": label}, "gazetteer")

@@ -239,10 +239,101 @@ def position_features(tok_idx: int, n_tokens_sent: int,
     ], dtype=np.float32)
 
 
+# ---------------------------------------------------------------------------
+# CharClassEncoder (E5): 11 boolean punctuation/symbol-class features
+# ref: texoo-core/.../encoder/impl/CharClassEncoder.java:52-134
+# ---------------------------------------------------------------------------
+
+CHAR_CLASS_SIZE = 11
+
+_CC_SYMBOLS = {"#", "$", "%", "@", "^", "_", "~", "¢", "£", "¥", "§", "€"}
+_CC_OPARENS = {"(", "<", "[", "{", "-LRB-"}
+_CC_CPARENS = {")", ">", "]", "}", "-RRB-"}
+_CC_SLASHES = {"/", "\\", "|"}
+_CC_DASHES = {"-", "–", "--", "---"}
+_CC_TERMINATORS = {".", "!", "?"}
+_CC_COLONS = {":", ";", "..."}
+_CC_OPERATORS = {"&", "*", "+", "="}
+
+
+def char_class_features(token: str) -> np.ndarray:
+    """[symbol, operator, openingQuote, closingQuote, openingParen,
+    closingParen, slash, comma, dash, sentenceTerminator, colon].
+
+    As-implemented parity with CharClassEncoder.java INCLUDING its
+    copy-paste quirk: isOpeningQuote/isClosingQuote test membership in the
+    SYMBOLS list (java:91-99), so quote characters never set the quote
+    flags while symbols like '#' set all three — downstream models were
+    trained on these vectors, so we reproduce them bit-for-bit."""
+    t = token.strip()
+    return np.array([
+        t in _CC_SYMBOLS,
+        t in _CC_OPERATORS,
+        t in _CC_SYMBOLS,      # java isOpeningQuote: symbols.contains
+        t in _CC_SYMBOLS,      # java isClosingQuote: symbols.contains
+        t in _CC_OPARENS,
+        t in _CC_CPARENS,
+        t in _CC_SLASHES,
+        t == ",",
+        t in _CC_DASHES,
+        t in _CC_TERMINATORS,
+        t in _CC_COLONS,
+    ], dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Word2Vec binary model reader (E8 load path)
+# ref: texoo-core/.../encoder/impl/Word2VecEncoder.java:95-110 (loads
+# BINARY/GOOGLE/DL4J/TEXT model files); this parses the standard public
+# word2vec .bin layout: b"<vocab> <dim>\n" header, then per word the
+# space-terminated word bytes followed by dim little-endian float32s
+# (optionally newline-separated).
+# ---------------------------------------------------------------------------
+
+def read_word2vec_binary(path: str, normalize: bool = False
+                         ) -> "EmbeddingLookup":
+    words: list[str] = []
+    rows: list[np.ndarray] = []
+    with open(path, "rb") as f:
+        header = f.readline().split()
+        vocab_size, dim = int(header[0]), int(header[1])
+        for _ in range(vocab_size):
+            wb = bytearray()
+            while True:
+                c = f.read(1)
+                if not c or c == b" ":
+                    break
+                if c != b"\n":
+                    wb.extend(c)
+            vec = np.frombuffer(f.read(4 * dim), dtype="<f4")
+            if len(vec) != dim:
+                raise ValueError("truncated word2vec binary file")
+            words.append(wb.decode("utf-8"))
+            rows.append(vec)
+    mat = np.vstack(rows)
+    if normalize:
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+    return EmbeddingLookup(words, mat)
+
+
+def write_word2vec_binary(path: str, words: list[str],
+                          matrix: np.ndarray) -> None:
+    """Standard word2vec .bin writer (golden-test counterpart)."""
+    with open(path, "wb") as f:
+        f.write(f"{len(words)} {matrix.shape[1]}\n".encode())
+        for w, row in zip(words, matrix):
+            f.write(w.encode("utf-8") + b" ")
+            f.write(np.asarray(row, dtype="<f4").tobytes())
+            f.write(b"\n")
+
+
 class EmbeddingLookup:
     """E8 (Word2VecEncoder/FastTextEncoder shape): pretrained embedding
     lookup from a broadcastable {word -> row index} + matrix pair; unknown
-    words map to the zero vector. Use np.take over token index arrays."""
+    words map to the zero vector. Use np.take over token index arrays.
+    Load binary model files with read_word2vec_binary."""
 
     def __init__(self, words: list[str], matrix: np.ndarray):
         self.index = {w: i for i, w in enumerate(words)}

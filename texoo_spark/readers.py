@@ -278,3 +278,127 @@ def read_wikisection_spark(spark, path: str):
             a["sectionLabel"].alias("label"),
             F.lit("GOLD").alias("source"),
             F.lit(1.0).alias("confidence"))).alias("sections"))
+
+
+# ---------------------------------------------------------------------------
+# MultiSeg reader (S7)
+# ref: texoo-sector/.../reader/MultiSegReader.java:45-112 (line-range
+# sections from a sibling .label file; Titov "Multi-document topic
+# segmentation", CIKM '10)
+# ---------------------------------------------------------------------------
+
+def parse_multiseg_label(label_text: str, doc_num: int
+                         ) -> tuple[set[int], set[int]]:
+    """Section start/end line sets for one document from a .label file.
+
+    Label line format: `topicLabel docId::start-end docId::start-end ...`
+    (MultiSegReader.readSectionsFromLabel, java:139-167)."""
+    starts: set[int] = set()
+    ends: set[int] = set()
+    for line in (label_text or "").splitlines():
+        toks = [t for t in line.split(" ") if t]
+        for token in toks[1:]:
+            did, pts = token.split("::")
+            s, e = pts.split("-")
+            if int(did) == doc_num:
+                starts.add(int(s))
+                ends.add(int(e))
+    return starts, ends
+
+
+def read_multiseg(doc_text: str, label_text: str, doc_num: int):
+    """Parse one MultiSeg document (one sentence per line, pre-tokenized)
+    against its label file: returns [{heading, sentences: [reconstructed
+    sentence texts]}] in emission order (heading = running section index).
+
+    Mirrors MultiSegReader.readDocumentFromFile java:76-103: text resets at
+    a start line, a section is emitted at an end line (skipping
+    whitespace-only sections), lines outside any [start, end] range are
+    dropped; each line becomes one sentence via fromTokenizedText (the
+    paper's paragraph-per-line convention, java:116-122)."""
+    from texoo_spark.textops import document_from_tokenized_text
+    starts, ends = parse_multiseg_label(label_text, doc_num)
+    sections = []
+    buf: list[str] = []
+    n = 0
+    for i, line in enumerate((doc_text or "").splitlines()):
+        if i in starts:
+            buf = []
+        buf.append(line)
+        if i in ends:
+            if "\n".join(buf).strip():
+                sentences = [document_from_tokenized_text(ln.strip()).text
+                             for ln in buf]
+                sections.append({"heading": str(n), "sentences": sentences})
+                n += 1
+            buf = []
+    return sections
+
+
+# ---------------------------------------------------------------------------
+# WikiCities reader (S8)
+# ref: texoo-sector/.../reader/WikiCitiesReader.java:47-157 (Chen et al.
+# 2009 "Global models of document structure using latent permutations")
+# ---------------------------------------------------------------------------
+
+_WIKICITIES_LINE = re.compile(r"^(\d+),(\d+),(.*)$")
+_TOPLEVEL = "TOP-LEVEL SEGMENT"
+
+
+def read_wikicities(lines, skip_top_level: bool = True):
+    """Parse WikiCities `docNo,sentenceNo,headingText` lines into
+    [{id, sections: [{heading, label, text}]}].
+
+    The dataset fuses heading and sentence without a delimiter
+    (WikiCitiesReader.java:36 attempts `(.+?)(.+?)$`, which degenerates to a
+    one-char heading); we implement the evident intent: the heading is the
+    TOP-LEVEL SEGMENT prefix when present, else empty. Document boundaries
+    at sentenceNo == 1, section boundaries at heading changes, sentences
+    joined with ' .' appended (java:82-121), heading lowercased with
+    TOP-LEVEL mapped to 'preface' and label = heading spaces->underscores
+    (java:141-152); empty documents are dropped."""
+    docs = []
+    doc_id = None
+    sections: list[dict] = []
+    cur: list[str] = []
+    heading = ""
+
+    def flush_section():
+        nonlocal cur
+        text = " ".join(cur)
+        if text.strip():
+            head = "preface" if heading == _TOPLEVEL else \
+                heading.strip().lower()
+            sections.append({"heading": head,
+                             "label": re.sub(r"\s+", "_", head),
+                             "text": text})
+        cur = []
+
+    def flush_doc():
+        nonlocal sections
+        flush_section()
+        if sections:
+            docs.append({"id": doc_id, "sections": sections})
+        sections = []
+
+    for raw in lines:
+        m = _WIKICITIES_LINE.match(raw.rstrip("\n"))
+        if not m:
+            continue
+        dno, sno, body = m.group(1), int(m.group(2)), m.group(3)
+        if body.startswith(_TOPLEVEL):
+            line_heading, sentence = _TOPLEVEL, body[len(_TOPLEVEL):]
+        else:
+            line_heading, sentence = "", body
+        if sno == 1:
+            flush_doc()
+            doc_id = dno
+            heading = ""
+        if skip_top_level and line_heading == _TOPLEVEL:
+            continue
+        if line_heading != heading:
+            flush_section()
+            heading = line_heading
+        cur.append(sentence + " .")
+    flush_doc()
+    return docs
