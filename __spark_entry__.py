@@ -1182,6 +1182,23 @@ def q_bemd_segments(spark, sf_dir):
         run, "label int, seg_idx long, sent_begin long, sent_end long"))
 
 
+def q_sentence_embeddings(spark, sf_dir):
+    """Sentence-embedding producer feeding the SECTOR segmentation lanes
+    (SectorTagger sentence vectors stand-in): trigram-hash counts bucketed
+    by FNV mod 64, L2-normalized; first 4 components oracled exactly."""
+    from texoo_spark.sentemb import embed_sentences
+    docs = _load(spark, sf_dir, "documents")
+    sents = docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+        .alias("sentence"))
+    emb = embed_sentences(sents)
+    return emb.select(
+        "doc_id",
+        *[F.round(F.element_at("embedding", j + 1), 6).alias(f"c{j}")
+          for j in range(4)])
+
+
 def q_curated_turns(spark, sf_dir):
     """Training-data curation funnel (extract -> quality -> exact dedup ->
     MinHash near dedup) over synthetic transcripts; returns survivors.
@@ -1278,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch": q_knn_batch,
         "curated_turns": q_curated_turns,
         "tagged_mentions_trained": q_tagged_mentions_trained,
+        "sentence_embeddings": q_sentence_embeddings,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "detect_language": q_detect_language,
@@ -1903,6 +1921,25 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY cosine DESC, vec_id LIMIT 10"),
         "detect_language": _detect_language_oracle(),
         "tagged_mentions_trained": _tagged_trained_oracle(),
+        "sentence_embeddings": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ')[1:5] AS ws"
+            " FROM documents),"
+            " g AS (SELECT doc_id, flatten(list_transform(ws, wv ->"
+            " CASE WHEN length('#' || lower(wv) || '#') < 3"
+            " THEN ['#' || lower(wv) || '#']"
+            " ELSE list_transform(range(1, length('#' || lower(wv) || '#')"
+            " - 1), gi -> ('#' || lower(wv) || '#')[gi : gi + 2]) END))"
+            " AS grams FROM w),"
+            " b AS (SELECT doc_id, list_transform(grams, g2 -> CAST("
+            + _SQL_FNV.format(s="g2") + " % 64 AS BIGINT)) AS bks FROM g),"
+            " c AS (SELECT doc_id, list_transform(range(0, 64), j ->"
+            " CAST(len(list_filter(bks, bk -> bk = j)) AS DOUBLE))"
+            " AS cnts FROM b),"
+            " n AS (SELECT doc_id, cnts, sqrt(list_sum(list_transform(cnts,"
+            " x -> x * x))) AS nrm FROM c)"
+            " SELECT doc_id, ROUND(cnts[1] / nrm, 6) AS c0,"
+            " ROUND(cnts[2] / nrm, 6) AS c1, ROUND(cnts[3] / nrm, 6) AS c2,"
+            " ROUND(cnts[4] / nrm, 6) AS c3 FROM n"),
         "fingerprints": (
             "WITH w AS (SELECT doc_id, list_filter(string_split_regex("
             r"lower(text), '\s+'), x -> x <> '') AS ws FROM documents),"

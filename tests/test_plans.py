@@ -84,3 +84,45 @@ def test_lean_extraction_single_python_hop(spark):
     plan = plan_of(extract_turns(df, lean=True))
     assert plan.count("ArrowEvalPython") == 1
     assert "tok_text" not in plan  # lean schema never materializes surfaces
+
+
+def test_pk_metric_partitions_on_doc_not_single_partition(spark):
+    """Round 2: the segmentation metrics must run the per-doc
+    applyInPandas lane — hash exchange on doc, never a single-partition
+    global window (the round-1 anti-pattern)."""
+    import __spark_entry__ as e
+    plan = plan_of(e.q_pk_metric(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(doc" in plan
+
+
+def test_retrieval_mrr_partitions_on_query(spark):
+    import __spark_entry__ as e
+    plan = plan_of(e.q_retrieval_mrr(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(query_id" in plan
+
+
+def test_embedding_band_exchange_carries_no_vectors(spark):
+    """Round 2: embedding_near_dups bands on (id, band, bucket) only —
+    full vectors must not ride through the banded self-join exchange
+    (x bands duplication at web scale); they join back after the distinct
+    candidate pairs."""
+    from texoo_spark.dedup import embedding_near_dups
+    emb = spark.read.parquet(SF + "/embeddings.parquet").limit(50)
+    plan = plan_of(embedding_near_dups(emb))
+    # the persisted banded stage feeding the pair join holds ONLY
+    # (id, band, bucket) — never the embedding
+    cached = [ln for ln in plan.splitlines() if "InMemoryRelation" in ln]
+    assert cached, "banded stage must be persisted"
+    for ln in cached:
+        cols = ln.split("[", 1)[1].split("]", 1)[0]
+        assert "embedding" not in cols and "v_" not in cols and \
+            " v#" not in "[" + cols, ln
+    # the pair join is keyed on (band, bucket)
+    assert "Join [band" in plan.replace("BroadcastHashJoin", "Join")\
+        .replace("SortMergeJoin", "Join").replace("ShuffledHashJoin", "Join")
+    # vectors enter the plan only through the post-distinct id joins
+    assert plan.count("AS v_a") == 1 and plan.count("AS v_b") == 1

@@ -90,3 +90,33 @@ def test_segments_from_target_labels():
     ])
     segs = segments_from_target_labels(pred, labels, k=1)
     assert segs == [(0, 2), (2, 4), (4, 5)]
+
+
+def test_segmentation_end_to_end_from_text():
+    """Round 2: the full lane the reference's SECTOR pipeline runs —
+    sentence texts -> sentence vectors (sentemb producer) -> EMD/BEMD
+    segmentation — recovers topic-block structure deterministically."""
+    import numpy as np
+    from texoo_spark.segment import segment_bemd, segment_emd
+    from texoo_spark.sentemb import sentence_embedding_batch
+    blocks = [
+        ["alpha bravo charlie delta", "bravo charlie delta echo",
+         "alpha charlie echo bravo", "delta alpha bravo echo"],
+        ["foxtrot golf hotel india", "golf hotel india juliett",
+         "foxtrot india juliett golf", "hotel foxtrot golf juliett"],
+        ["kilo lima mike november", "lima mike november oscar",
+         "kilo november oscar lima", "mike kilo lima oscar"],
+    ]
+    sents = [s for b in blocks for s in b]
+    mat = sentence_embedding_batch(sents)
+    assert mat.shape == (12, 64)
+    assert np.allclose(np.linalg.norm(mat, axis=1), 1.0)
+    # vectors inside a block are closer than across blocks
+    within = mat[0] @ mat[1]
+    across = mat[0] @ mat[5]
+    assert within > across
+    # deterministic segmentations (pinned): the fixed-count BEMD lane puts
+    # both boundaries within one sentence of the true topic shifts
+    assert segment_emd(mat) == [(0, 7), (7, 12)]
+    assert segment_bemd(mat, mat, fixed_count=3) == [(0, 4), (4, 10),
+                                                     (10, 12)]
