@@ -431,6 +431,37 @@ def q_bm25_scores(spark, sf_dir):
                     F.round(F.col("score"), 3).alias("score")))
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Top-k BM25 per query (QueryRunner retrieve shape): round-3 rank key
+    with doc_id tie-break for cross-engine-exact rank membership."""
+    from texoo_spark.retrieval import bm25_topk
+    docs = _load(spark, sf_dir, "documents")
+    queries = (docs.filter(F.col("doc_id") < 5)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.array_join(F.slice(F.split(F.col("text"), " "),
+                                            1, 3), " ").alias("query_text")))
+    return (bm25_topk(docs, queries, k=10, rank_round=3)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "doc_id", "score"))
+
+
+def q_train_test_split(spark, sf_dir):
+    """R9 split/sample: deterministic multiplicative-hash split (Knuth
+    constant) into train/val/test 8/1/1 — stable under repartitioning,
+    retries and cluster size, unlike randomSplit (whose output depends on
+    seed AND partitioning; at 10^12 rows reproducible splits must be
+    key-derived). Returns per-split counts + id ranges."""
+    docs = _load(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(10))
+    split = (F.when(bucket < 8, "train")
+             .when(bucket == 8, "val").otherwise("test"))
+    return (docs.withColumn("split", split)
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))
+
+
 def q_pdf_layout(spark, sf_dir):
     """PDF layout reconstruction: a deterministic word-box table (3 lines
     x 4 words, paragraph gap before line 3) -> reading-order text via
@@ -1265,6 +1296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "ngram_jaccard_dups": q_ngram_jaccard,
         "bm25_scores": q_bm25_scores,
+        "bm25_topk": q_bm25_topk,
+        "train_test_split": q_train_test_split,
         "pdf_layout": q_pdf_layout,
         "conversation_text": q_conversation_text,
         "tagged_mentions": q_tagged_mentions,
@@ -1694,6 +1727,43 @@ def oracle_sql() -> dict[str, str]:
             " JOIN doclen dle ON dle.doc_id = p.doc_id"
             " CROSS JOIN stats s"
             " GROUP BY query_id, p.doc_id"),
+        "bm25_topk": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "  string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))"
+            "  AS term FROM documents),"
+            " postings AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks"
+            "  GROUP BY 1, 2),"
+            " dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df"
+            "  FROM postings GROUP BY 1),"
+            " doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),"
+            " stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl"
+            "  FROM doclen),"
+            " q AS (SELECT doc_id AS query_id, array_to_string("
+            "  string_split(text, ' ')[1:3], ' ') AS qtext FROM documents"
+            "  WHERE doc_id < 5),"
+            " qterms AS (SELECT query_id, unnest(list_distinct(list_filter("
+            "  string_split_regex(lower(qtext), '[^a-z0-9]+'),"
+            "  t -> t <> ''))) AS term FROM q),"
+            " scored AS (SELECT query_id, p.doc_id, ROUND(SUM("
+            "  ln(1 + (s.n_docs - df + 0.5) / (df + 0.5))"
+            "  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / s.avgdl))"
+            " ), 3) AS score"
+            " FROM postings p JOIN qterms USING (term)"
+            " JOIN dfreq USING (term)"
+            " JOIN doclen dle ON dle.doc_id = p.doc_id"
+            " CROSS JOIN stats s"
+            " GROUP BY query_id, p.doc_id),"
+            " r AS (SELECT query_id, doc_id, score, ROW_NUMBER() OVER ("
+            " PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank"
+            " FROM scored)"
+            " SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score"
+            " FROM r WHERE rank <= 10"),
+        "train_test_split": (
+            "SELECT CASE WHEN (doc_id * 2654435761) % 10 < 8 THEN 'train'"
+            " WHEN (doc_id * 2654435761) % 10 = 8 THEN 'val'"
+            " ELSE 'test' END AS split, COUNT(*) AS n_docs,"
+            " MIN(doc_id) AS min_id, MAX(doc_id) AS max_id"
+            " FROM documents GROUP BY 1"),
         "pdf_layout": (
             # lines 1-2 gap = 2, line 3 gap = 22 > 1.8 x median(2) ->
             # paragraph break before word 9 (pdfops._paragraphs semantics)

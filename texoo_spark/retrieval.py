@@ -111,18 +111,25 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
               k1: float = 1.2, b: float = 0.75,
               id_col: str = "doc_id", text_col: str = "text",
               query_id_col: str = "query_id",
-              query_text_col: str = "query_text") -> DataFrame:
+              query_text_col: str = "query_text",
+              rank_round: int | None = None) -> DataFrame:
     """Top-k BM25 documents per query: (query_id, rank, doc_id, score).
 
     Ties break on doc_id for deterministic ranks (Result comparator
     rank->score parity,
     texoo-core/src/main/java/de/datexis/model/Result.java:17-32).
+    With rank_round, ranking compares scores rounded to that many decimals
+    (still doc_id tie-break) so rank membership reproduces across engines
+    whose log-sum orders differ at ~1e-12.
     """
     scored = bm25_scores(docs, queries, k1, b, id_col, text_col,
                          query_id_col, query_text_col)
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+    rank_key = (F.round(F.col("score"), rank_round)
+                if rank_round is not None else F.col("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc(rank_key),
                                                F.col("doc_id"))
+    out_round = rank_round if rank_round is not None else 6
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "doc_id",
-                    F.round(F.col("score"), 6).alias("score")))
+                    F.round(F.col("score"), out_round).alias("score")))
