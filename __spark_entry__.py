@@ -1213,6 +1213,38 @@ def q_bemd_segments(spark, sf_dir):
         run, "label int, seg_idx long, sent_begin long, sent_end long"))
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination sweep: docs < 400 are 'train'; docs >= 400
+    become 'test' with their first 12 words replaced by train doc
+    (doc_id - 400)'s first 12 words — every test doc must surface with at
+    least the 5 planted 8-word windows (plus any natural overlap)."""
+    from texoo_spark.dedup import ngram_contamination
+    docs = _load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    train = docs.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    src = (docs.filter(F.col("doc_id") < 100)
+           .select((F.col("doc_id") + 400).alias("doc_id2"),
+                   F.array_join(F.slice(words, 1, 12), " ").alias("prefix")))
+    test = (docs.filter(F.col("doc_id") >= 400)
+            .join(src, F.col("doc_id") == F.col("doc_id2"))
+            .select("doc_id",
+                    F.concat(F.col("prefix"), F.lit(" "),
+                             F.array_join(F.slice(F.split(F.col("text"), " "),
+                                                  13, 1000), " "))
+                    .alias("text")))
+    return ngram_contamination(train, test, n=8)
+
+
+def q_unigram_surprisal(spark, sf_dir):
+    """LM-free quality proxy: mean unigram surprisal per doc from
+    corpus-derived word statistics."""
+    from texoo_spark.curate import unigram_surprisal
+    docs = _load(spark, sf_dir, "documents")
+    return (unigram_surprisal(docs)
+            .select(F.col("id").alias("doc_id"), "mean_surprisal",
+                    "n_words"))
+
+
 def q_sentence_embeddings(spark, sf_dir):
     """Sentence-embedding producer feeding the SECTOR segmentation lanes
     (SectorTagger sentence vectors stand-in): trigram-hash counts bucketed
@@ -1329,6 +1361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_turns": q_curated_turns,
         "tagged_mentions_trained": q_tagged_mentions_trained,
         "sentence_embeddings": q_sentence_embeddings,
+        "contamination": q_contamination,
+        "unigram_surprisal": q_unigram_surprisal,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "detect_language": q_detect_language,
@@ -1991,6 +2025,36 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY cosine DESC, vec_id LIMIT 10"),
         "detect_language": _detect_language_oracle(),
         "tagged_mentions_trained": _tagged_trained_oracle(),
+        "contamination": (
+            "WITH src AS (SELECT doc_id + 400 AS doc_id2,"
+            " array_to_string(string_split(text, ' ')[1:12], ' ')"
+            " AS prefix FROM documents WHERE doc_id < 100),"
+            " test AS (SELECT d.doc_id, prefix || ' ' ||"
+            " COALESCE(array_to_string(string_split(d.text, ' ')"
+            " [13:len(string_split(d.text, ' '))], ' '), '') AS text"
+            " FROM documents d JOIN src ON d.doc_id = doc_id2"
+            " WHERE d.doc_id >= 400),"
+            " trw AS (SELECT string_split(lower(text), ' ') AS ws"
+            " FROM documents WHERE doc_id < 400),"
+            " trh AS (SELECT " + _sql_word_hashes("ws") + " AS wh FROM trw),"
+            " th AS (SELECT DISTINCT unnest("
+            + _sql_shingles("wh", 8) + ") AS h FROM trh),"
+            " tew AS (SELECT doc_id AS test_id,"
+            " string_split(lower(text), ' ') AS ws FROM test),"
+            " teh AS (SELECT test_id, " + _sql_word_hashes("ws")
+            + " AS wh FROM tew),"
+            " te AS (SELECT test_id, unnest(list_distinct("
+            + _sql_shingles("wh", 8) + ")) AS h FROM teh)"
+            " SELECT test_id, COUNT(*) AS n_contaminated"
+            " FROM te JOIN th USING (h) GROUP BY test_id"),
+        "unigram_surprisal": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(lower(text),"
+            " ' ')) AS wd FROM documents),"
+            " c AS (SELECT wd, COUNT(*) AS c FROM w GROUP BY wd),"
+            " t AS (SELECT COUNT(*) AS total FROM w)"
+            " SELECT doc_id, ROUND(AVG(-ln(c / CAST(total AS DOUBLE))), 6)"
+            " AS mean_surprisal, COUNT(*) AS n_words"
+            " FROM w JOIN c USING (wd) CROSS JOIN t GROUP BY doc_id"),
         "sentence_embeddings": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ')[1:5] AS ws"
             " FROM documents),"

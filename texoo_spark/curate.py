@@ -45,6 +45,30 @@ def quality_filter(df: DataFrame, text_col: str = "extracted_text",
                      & (stop_ratio >= min_stop_ratio))
 
 
+def unigram_surprisal(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Mean unigram surprisal -ln p(w) per document from corpus-derived
+    unigram statistics — the trained-LM-free quality/perplexity proxy
+    (Gopher/C4-style filters rank documents by how 'surprising' their
+    vocabulary is vs the corpus). Returns (id, mean_surprisal, n_words).
+
+    Plan: one explode, one word-count aggregation, one count action for
+    the normalizer, one join back on word (AQE broadcasts the vocab side
+    when it is small; at web scale it hash-partitions on the word — both
+    are one shuffle), one per-doc aggregation."""
+    words = df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.lower(F.col(text_col)), " "))
+                      .alias("w"))
+    counts = words.groupBy("w").agg(F.count("*").alias("c"))
+    total = words.count()
+    scored = (words.join(counts, "w")
+              .select("id", (-F.log(F.col("c") / F.lit(float(total))))
+                      .alias("s")))
+    return (scored.groupBy("id")
+            .agg(F.round(F.avg("s"), 6).alias("mean_surprisal"),
+                 F.count("*").alias("n_words")))
+
+
 def drop_exact_dupes(df: DataFrame,
                      text_col: str = "extracted_text") -> DataFrame:
     """Keep the first (conv_id, turn_idx) row per distinct text."""

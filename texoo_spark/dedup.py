@@ -446,6 +446,44 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
             .select("id_a", "id_b", "cosine"))
 
 
+def make_window_hash_udf(n: int = 8):
+    """Distinct n-word-window Karp-Rabin hashes per text (signed int64) —
+    the building block for containment/contamination sweeps."""
+    @pandas_udf(ArrayType(LongType()))
+    def wh_udf(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for t in texts:
+            hs = _shingle_hashes(t, n, cache)
+            out.append(np.unique(hs).astype(np.int64).tolist())
+        return pd.Series(out, dtype="object")
+    return wh_udf
+
+
+def ngram_contamination(train: DataFrame, test: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 8) -> DataFrame:
+    """Benchmark-contamination sweep: test documents sharing ANY n-word
+    window with ANY train document -> (test_id, n_contaminated) where
+    n_contaminated counts the test doc's distinct contaminated windows
+    (the standard n-gram-overlap decontamination check from the public
+    LM-training literature, e.g. GPT-3 appendix C / PaLM).
+
+    Plan: one pandas window-hash projection per side, train side distinct
+    (one shuffle on h), inner join hash-partitioned on h, count per test
+    id. Never a text-text join. At 10^12 rows materialize the train hash
+    set once (bucketed by h) and reuse it across sweeps; a broadcast Bloom
+    filter over train hashes makes a cheap approximate pre-filter."""
+    u = make_window_hash_udf(n)
+    th = (train.select(F.explode(u(F.col(text_col))).alias("h"))
+          .distinct())
+    te = test.select(F.col(id_col).alias("test_id"),
+                     F.explode(u(F.col(text_col))).alias("h"))
+    return (te.join(th, "h")
+            .groupBy("test_id")
+            .agg(F.count("*").alias("n_contaminated")))
+
+
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        max_hamming: int = 3,
