@@ -452,7 +452,11 @@ def q_train_test_split(spark, sf_dir):
     seed AND partitioning; at 10^12 rows reproducible splits must be
     key-derived). Returns per-split counts + id ranges."""
     docs = _load(spark, sf_dir, "documents")
-    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(10))
+    # Knuth multiplicative hash, TOP bits: (id * A) mod 2^32 // ceil(2^32/10)
+    # (taking the product mod 10 directly degenerates to id % 10 because
+    # A = 2654435761 === 1 (mod 10))
+    bucket = (F.pmod(F.col("doc_id") * F.lit(2654435761),
+                     F.lit(4294967296)) / F.lit(429496730)).cast("long")
     split = (F.when(bucket < 8, "train")
              .when(bucket == 8, "val").otherwise("test"))
     return (docs.withColumn("split", split)
@@ -537,7 +541,11 @@ def q_tagged_mentions_trained(spark, sf_dir):
     partials) and re-counts decoded spans."""
     from texoo_spark.extract import extract_discard_udf
     from texoo_spark.tagger import tag_mentions, train_conll_tagger
-    docs = _load(spark, sf_dir, "documents")
+    # restrict to pure-alphabetic lowercase texts so the token surface
+    # patterns stay within the three the oracle scores (guards against
+    # driver data with digits/mixed case; a no-op on the bundled SFs)
+    docs = (_load(spark, sf_dir, "documents")
+            .filter(F.col("text").rlike("^[a-z ]+$")))
     words = F.split(F.col("text"), " ")
     text2 = F.concat(
         F.initcap(F.array_join(F.slice(words, 1, 3), " ")), F.lit(" "),
@@ -1380,9 +1388,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the near-dup lanes get full value-level oracles)
 # ---------------------------------------------------------------------------
 
+# FNV-1a over the UTF-8 BYTES of the string (not code points — Python's
+# fnv1a64 hashes s.encode('utf-8'), so the SQL twin reads bytes through
+# hex(encode(s)): two hex chars per byte).
 _SQL_FNV = ("list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), "
-            "list_transform(range(1, length({s}) + 1), ci -> ascii({s}[ci]))),"
-            " (fh, fb) -> (xor(fh, fb) * 1099511628211)"
+            "list_transform(range(0, octet_length(encode({s}))), ci -> "
+            "(strpos('0123456789ABCDEF', hex(encode({s}))[ci * 2 + 1]) - 1)"
+            " * 16 + strpos('0123456789ABCDEF', hex(encode({s}))[ci * 2 + 2])"
+            " - 1)), (fh, fb) -> (xor(fh, fb) * 1099511628211)"
             " % 18446744073709551616)")
 
 _SQL_POW2 = "[" + ", ".join(f"{1 << i}::HUGEINT" for i in range(64)) + "]"
@@ -1491,11 +1504,13 @@ def _tagged_trained_oracle() -> str:
 
     return (
         "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w"
-        " FROM documents),"
+        " FROM documents WHERE regexp_matches(text, '^[a-z ]+$')),"
         " tk0 AS (SELECT doc_id, unnest(w) AS tok0,"
         " unnest(range(1, len(w) + 1)) AS ti FROM d),"
+        # initcap semantics: first char uppered, REST lowered
         " tk AS (SELECT doc_id, ti, CASE WHEN ti <= 3 THEN"
-        " upper(tok0[1:1]) || tok0[2:] ELSE tok0 END AS tok FROM tk0),"
+        " upper(tok0[1:1]) || lower(tok0[2:]) ELSE tok0 END AS tok"
+        " FROM tk0),"
         " tr AS (SELECT doc_id, ti, tok, list_distinct(list_transform("
         " range(1, length('#' || lower(tok) || '#') - 1),"
         " gi -> ('#' || lower(tok) || '#')[gi : gi + 2])) AS tris FROM tk),"
@@ -1564,11 +1579,25 @@ _SEG_EVAL_SQL = (
     " SUM(CASE WHEN pos = 0 OR hyp <> lhyp THEN 1 ELSE 0 END)"
     " OVER (PARTITION BY doc ORDER BY pos ROWS UNBOUNDED PRECEDING) AS rh"
     " FROM ch),"
-    " kk AS (SELECT doc, GREATEST(CAST(FLOOR(COUNT(*) / (2.0 * MAX(rr))"
+    " kk AS (SELECT doc, COUNT(*) AS n, MAX(rr) AS mrr, MAX(rh) AS mrh,"
+    " GREATEST(CAST(FLOOR(COUNT(*) / (2.0 * MAX(rr))"
     " + 0.5) AS INTEGER), 2) AS k FROM r GROUP BY doc),"
-    " p AS (SELECT a.doc, kk.k, (b.rr - a.rr) AS dref, (b.rh - a.rh) AS dhyp"
+    " pw AS (SELECT a.doc, (b.rr - a.rr) AS dref, (b.rh - a.rh) AS dhyp"
     " FROM r a JOIN kk ON kk.doc = a.doc"
-    " JOIN r b ON b.doc = a.doc AND b.pos = a.pos + kk.k)")
+    " JOIN r b ON b.doc = a.doc AND b.pos = a.pos + kk.k),"
+    # degenerate docs (n <= k: no window pairs) still get a row, matching
+    # metrics._degenerate: n == 2 compares same-segment agreement, n <= 1
+    # and 2 < n <= k give 0.0 (count == 0 path)
+    " pa AS (SELECT doc, AVG(CASE WHEN (dref = 0) <> (dhyp = 0)"
+    " THEN 1.0 ELSE 0.0 END) AS pkv,"
+    " AVG(CASE WHEN dref <> dhyp THEN 1.0 ELSE 0.0 END) AS wdv"
+    " FROM pw GROUP BY doc),"
+    " p AS (SELECT kk.doc, kk.k,"
+    " COALESCE(pkv, CASE WHEN kk.n = 2 AND ((kk.mrr = 1) <> (kk.mrh = 1))"
+    " THEN 1.0 ELSE 0.0 END) AS pkv,"
+    " COALESCE(wdv, CASE WHEN kk.n = 2 AND ((kk.mrr = 1) <> (kk.mrh = 1))"
+    " THEN 1.0 ELSE 0.0 END) AS wdv"
+    " FROM kk LEFT JOIN pa ON pa.doc = kk.doc)")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1643,9 +1672,8 @@ def oracle_sql() -> dict[str, str]:
             " AS prefix_key, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id"
             " FROM documents GROUP BY 1 HAVING COUNT(*) > 1"),
         "pk_metric": _SEG_EVAL_SQL + (
-            " SELECT CAST(doc AS VARCHAR) AS doc, MAX(k) AS k,"
-            " ROUND(AVG(CASE WHEN (dref = 0) <> (dhyp = 0)"
-            " THEN 1.0 ELSE 0.0 END), 6) AS pk FROM p GROUP BY doc"),
+            " SELECT CAST(doc AS VARCHAR) AS doc, k,"
+            " ROUND(pkv, 6) AS pk FROM p"),
         "retrieval_mrr": (
             "WITH rk AS (SELECT label AS qid, vec_id,"
             " ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn,"
@@ -1668,7 +1696,7 @@ def oracle_sql() -> dict[str, str]:
             " AS ap,"
             " CAST(CASE WHEN nrel > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)"
             " AS recall_n,"
-            " ROUND(cum5 / 5.0, 6) AS p_at_5,"
+            " ROUND(COALESCE(cum5, nrel) / 5.0, 6) AS p_at_5,"
             " ROUND(CASE WHEN nrel > 0 THEN dcg10 / list_sum(list_transform("
             " range(1, CAST(LEAST(10, nrel) + 1 AS BIGINT)),"
             " pp -> 1.0 / log2(pp + 1))) ELSE 0 END, 6) AS ndcg_at_10"
@@ -1793,11 +1821,14 @@ def oracle_sql() -> dict[str, str]:
             " SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score"
             " FROM r WHERE rank <= 10"),
         "train_test_split": (
-            "SELECT CASE WHEN (doc_id * 2654435761) % 10 < 8 THEN 'train'"
-            " WHEN (doc_id * 2654435761) % 10 = 8 THEN 'val'"
-            " ELSE 'test' END AS split, COUNT(*) AS n_docs,"
+            "WITH b AS (SELECT doc_id,"
+            " (doc_id * 2654435761) % 4294967296 // 429496730 AS bucket"
+            " FROM documents)"
+            " SELECT CASE WHEN bucket < 8 THEN 'train'"
+            " WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,"
+            " COUNT(*) AS n_docs,"
             " MIN(doc_id) AS min_id, MAX(doc_id) AS max_id"
-            " FROM documents GROUP BY 1"),
+            " FROM b GROUP BY 1"),
         "pdf_layout": (
             # lines 1-2 gap = 2, line 3 gap = 22 > 1.8 x median(2) ->
             # paragraph break before word 9 (pdfops._paragraphs semantics)
@@ -1934,9 +1965,8 @@ def oracle_sql() -> dict[str, str]:
             "  AND p.b < gd.g_end AND p.b + p.l > gd.g_begin)"
             " SELECT doc_id, COUNT(*) AS n_weak FROM weak GROUP BY doc_id"),
         "wd_metric": _SEG_EVAL_SQL + (
-            " SELECT CAST(doc AS VARCHAR) AS doc, MAX(k) AS k,"
-            " ROUND(AVG(CASE WHEN dref <> dhyp"
-            " THEN 1.0 ELSE 0.0 END), 6) AS wd FROM p GROUP BY doc"),
+            " SELECT CAST(doc AS VARCHAR) AS doc, k,"
+            " ROUND(wdv, 6) AS wd FROM p"),
         "tokens_in_range": (
             "WITH toks AS (SELECT doc_id,"
             " unnest(string_split(text, ' ')) AS tok,"

@@ -40,6 +40,29 @@ from texoo_spark.textquality import fnv1a64
 
 log = logging.getLogger(__name__)
 
+# banded signature DataFrames persisted by the LSH candidate generators;
+# release with release_dedup_caches() when done with the candidate plans
+_PERSISTED: list = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_dedup_caches() -> int:
+    """Unpersist every banded signature cache created by
+    minhash_lsh_candidates / simhash_candidates / embedding_near_dups in
+    this process. Call after the candidate DataFrames have been consumed
+    (a long-running service invoking the generators repeatedly should
+    release between batches). Returns the number of caches released."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
+
 _MASK64 = (1 << 64) - 1
 _MERSENNE = (1 << 61) - 1
 _M61 = np.uint64(_MERSENNE)
@@ -273,7 +296,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
             lambda b: F.hash(F.slice(
                 F.col("sig"),
                 b * rows_per_band + 1, rows_per_band))))
-        .alias("band", "bucket")).persist()
+        .alias("band", "bucket"))
+    banded = _persist_tracked(banded)
     capped = _cap_buckets(banded, max_bucket_size, "minhash_lsh_candidates")
     left = capped.alias("l")
     right = capped.alias("r")
@@ -418,8 +442,8 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
 
     banded = (df.select(F.col(id_col).alias("id"),
                         srp_udf(F.col(vec_col)).alias("sig"))
-              .select("id", F.posexplode("sig").alias("band", "bucket"))
-              ).persist()
+              .select("id", F.posexplode("sig").alias("band", "bucket")))
+    banded = _persist_tracked(banded)
     capped = _cap_buckets(banded, max_bucket_size, "embedding_near_dups")
     left, right = capped.alias("l"), capped.alias("r")
     pairs = (left.join(right,
@@ -499,7 +523,8 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
         "id", "sig",
         F.posexplode(F.array(*[
             F.shiftright(F.col("sig"), i * 16).bitwiseAND(F.lit(0xFFFF))
-            for i in range(4)])).alias("band", "bucket")).persist()
+            for i in range(4)])).alias("band", "bucket"))
+    chunks = _persist_tracked(chunks)
     capped = _cap_buckets(chunks, max_bucket_size, "simhash_candidates")
     left, right = capped.alias("l"), capped.alias("r")
     pairs = (left.join(right,

@@ -116,6 +116,8 @@ def ivf_assign(df: DataFrame, n_cells: int = 16,
                             1e-12)
     else:
         cents = np.asarray(centroids, dtype=np.float64)
+        cents = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     bc = df.sparkSession.sparkContext.broadcast(cents)
 
     from pyspark.sql.functions import pandas_udf

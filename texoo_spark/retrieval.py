@@ -112,7 +112,8 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
               id_col: str = "doc_id", text_col: str = "text",
               query_id_col: str = "query_id",
               query_text_col: str = "query_text",
-              rank_round: int | None = None) -> DataFrame:
+              rank_round: int | None = None,
+              index: dict[str, DataFrame] | None = None) -> DataFrame:
     """Top-k BM25 documents per query: (query_id, rank, doc_id, score).
 
     Ties break on doc_id for deterministic ranks (Result comparator
@@ -120,10 +121,13 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     texoo-core/src/main/java/de/datexis/model/Result.java:17-32).
     With rank_round, ranking compares scores rounded to that many decimals
     (still doc_id tie-break) so rank membership reproduces across engines
-    whose log-sum orders differ at ~1e-12.
+    whose log-sum orders differ at ~1e-12. Pass a prebuilt `index` to
+    amortize the persisted postings across calls (and own its lifecycle
+    via unpersist_bm25_index); with index=None each call builds and
+    retains its own cached postings/doclen.
     """
     scored = bm25_scores(docs, queries, k1, b, id_col, text_col,
-                         query_id_col, query_text_col)
+                         query_id_col, query_text_col, index=index)
     rank_key = (F.round(F.col("score"), rank_round)
                 if rank_round is not None else F.col("score"))
     w = Window.partitionBy("query_id").orderBy(F.desc(rank_key),
