@@ -446,17 +446,18 @@ def q_bm25_topk(spark, sf_dir):
 
 
 def q_train_test_split(spark, sf_dir):
-    """R9 split/sample: deterministic multiplicative-hash split (Knuth
-    constant) into train/val/test 8/1/1 — stable under repartitioning,
-    retries and cluster size, unlike randomSplit (whose output depends on
-    seed AND partitioning; at 10^12 rows reproducible splits must be
-    key-derived). Returns per-split counts + id ranges."""
+    """R9 split/sample: deterministic key-derived split (md5 of the id)
+    into train/val/test 8/1/1 — stable under repartitioning, retries and
+    cluster size, unlike randomSplit (whose output depends on seed AND
+    partitioning; at 10^12 rows reproducible splits must be key-derived).
+    Returns per-split counts + id ranges."""
     docs = _load(spark, sf_dir, "documents")
-    # Knuth multiplicative hash, TOP bits: (id * A) mod 2^32 // ceil(2^32/10)
-    # (taking the product mod 10 directly degenerates to id % 10 because
-    # A = 2654435761 === 1 (mod 10))
-    bucket = (F.pmod(F.col("doc_id") * F.lit(2654435761),
-                     F.lit(4294967296)) / F.lit(429496730)).cast("long")
+    # md5 of the id string -> first 3 hex digits mod 10: overflow-free at
+    # any id magnitude (a raw id*A product overflows BIGINT past ~3.5e9
+    # ids), reproducible across engines, bias 4096 % 10 / 4096 < 0.1%
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3),
+               16, 10).cast("long"), F.lit(10))
     split = (F.when(bucket < 8, "train")
              .when(bucket == 8, "val").otherwise("test"))
     return (docs.withColumn("split", split)
@@ -1233,12 +1234,15 @@ def q_contamination(spark, sf_dir):
     src = (docs.filter(F.col("doc_id") < 100)
            .select((F.col("doc_id") + 400).alias("doc_id2"),
                    F.array_join(F.slice(words, 1, 12), " ").alias("prefix")))
+    tail_words = F.split(F.col("text"), " ")
     test = (docs.filter(F.col("doc_id") >= 400)
             .join(src, F.col("doc_id") == F.col("doc_id2"))
             .select("doc_id",
                     F.concat(F.col("prefix"), F.lit(" "),
-                             F.array_join(F.slice(F.split(F.col("text"), " "),
-                                                  13, 1000), " "))
+                             F.array_join(
+                                 F.slice(tail_words, 13,
+                                         F.greatest(F.size(tail_words) - 12,
+                                                    F.lit(1))), " "))
                     .alias("text")))
     return ngram_contamination(train, test, n=8)
 
@@ -1523,6 +1527,14 @@ def _tagged_trained_oracle() -> str:
         " SELECT doc_id, CAST(SUM(CASE WHEN tag = 'B' OR (tag = 'I'"
         " AND (pt IS NULL OR pt = 'O')) THEN 1 ELSE 0 END) AS BIGINT)"
         " AS n_mentions FROM sp GROUP BY doc_id")
+
+
+def _maybe_tagged_trained_oracle() -> dict[str, str]:
+    import os as _os
+    from texoo_spark.tagger import CONLL_FIXTURE
+    if not _os.path.exists(CONLL_FIXTURE):
+        return {}
+    return {"tagged_mentions_trained": _tagged_trained_oracle()}
 
 
 def _detect_language_oracle() -> str:
@@ -1822,8 +1834,12 @@ def oracle_sql() -> dict[str, str]:
             " FROM r WHERE rank <= 10"),
         "train_test_split": (
             "WITH b AS (SELECT doc_id,"
-            " (doc_id * 2654435761) % 4294967296 // 429496730 AS bucket"
-            " FROM documents)"
+            " ((strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[1])"
+            " - 1) * 256 +"
+            " (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[2])"
+            " - 1) * 16 +"
+            " strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[3])"
+            " - 1) % 10 AS bucket FROM documents)"
             " SELECT CASE WHEN bucket < 8 THEN 'train'"
             " WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,"
             " COUNT(*) AS n_docs,"
@@ -2054,7 +2070,11 @@ def oracle_sql() -> dict[str, str]:
             " AS cosine FROM cells JOIN probe USING (cell) CROSS JOIN qv"
             " ORDER BY cosine DESC, vec_id LIMIT 10"),
         "detect_language": _detect_language_oracle(),
-        "tagged_mentions_trained": _tagged_trained_oracle(),
+        # the trained-tagger oracle needs the reference CoNLL fixture at
+        # build time (deterministic training, cached per process); on a
+        # machine without /root/reference the entry degrades to rows-only
+        # instead of breaking the whole oracle dict
+        **_maybe_tagged_trained_oracle(),
         "contamination": (
             "WITH src AS (SELECT doc_id + 400 AS doc_id2,"
             " array_to_string(string_split(text, ' ')[1:12], ' ')"

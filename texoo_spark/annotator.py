@@ -48,9 +48,20 @@ class Pipeline:
         return df
 
     def provenance(self) -> dict:
+        """Lineage for manifest rows. Large list params (e.g. a 100k-term
+        gazetteer, carried in params for bundle serialization) are
+        summarized to their length — manifests record WHAT ran, the bundle
+        descriptor (save_pipeline) records the full data."""
+        def summarize(v):
+            if isinstance(v, list) and len(v) > 20:
+                return {"n_items": len(v)}
+            return v
+
         return {
             "code_version": CODE_VERSION,
-            "stages": [{"name": s.name, "params": s.params}
+            "stages": [{"name": s.name,
+                        "params": {k: summarize(v)
+                                   for k, v in s.params.items()}}
                        for s in self.stages],
         }
 

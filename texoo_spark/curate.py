@@ -27,6 +27,17 @@ from texoo_spark.arrow_extract import extract_turns_arrow
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
              "as", "by", "at", "it", "that", "this", "be", "are", "was")
 
+# vocab-count DataFrames persisted by unigram_surprisal; release with
+# release_curate_caches() when the scored output has been consumed
+_PERSISTED: list = []
+
+
+def release_curate_caches() -> int:
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
 
 def quality_filter(df: DataFrame, text_col: str = "extracted_text",
                    min_words: int = 5, max_digit_ratio: float = 0.3,
@@ -52,15 +63,17 @@ def unigram_surprisal(df: DataFrame, id_col: str = "doc_id",
     (Gopher/C4-style filters rank documents by how 'surprising' their
     vocabulary is vs the corpus). Returns (id, mean_surprisal, n_words).
 
-    Plan: one explode, one word-count aggregation, one count action for
-    the normalizer, one join back on word (AQE broadcasts the vocab side
-    when it is small; at web scale it hash-partitions on the word — both
-    are one shuffle), one per-doc aggregation."""
+    Plan: two corpus passes total — one explode+aggregation building the
+    (persisted) vocab counts, whose sum gives the normalizer without
+    another corpus scan, and one explode as the join probe side (AQE
+    broadcasts the vocab side when it is small; at web scale it
+    hash-partitions on the word), then one per-doc aggregation."""
     words = df.select(F.col(id_col).alias("id"),
                       F.explode(F.split(F.lower(F.col(text_col)), " "))
                       .alias("w"))
-    counts = words.groupBy("w").agg(F.count("*").alias("c"))
-    total = words.count()
+    counts = words.groupBy("w").agg(F.count("*").alias("c")).persist()
+    _PERSISTED.append(counts)
+    total = counts.agg(F.sum("c")).collect()[0][0]
     scored = (words.join(counts, "w")
               .select("id", (-F.log(F.col("c") / F.lit(float(total))))
                       .alias("s")))

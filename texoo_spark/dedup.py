@@ -377,16 +377,18 @@ def simhash64_batch(texts) -> np.ndarray:
     uniq = {w: np.uint64(fnv1a64(w)) for w in set(flat)}
     hs = np.fromiter((uniq[w] for w in flat), dtype=np.uint64,
                      count=len(flat))
-    # bit i of column i: little-endian byte view + little bitorder
-    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1,
-                         bitorder="little").astype(np.int32)  # [W x 64]
+    # bit i at column i: EXPLICIT little-endian byte layout (astype('<u8'))
+    # so signatures are identical on big-endian executors too — the module
+    # contract promises hash stability across cluster hardware
+    bits = np.unpackbits(hs.astype("<u8").view(np.uint8).reshape(-1, 8),
+                         axis=1, bitorder="little").astype(np.int32)
     contrib = bits * 2 - 1
     nonempty = np.array([i for i, ws in enumerate(rows) if ws])
     starts = np.array([offsets[i] for i in nonempty])
     acc = np.add.reduceat(contrib, starts, axis=0)       # [rows' x 64]
     sig_bits = (acc > 0).astype(np.uint8)
-    packed = np.packbits(sig_bits, axis=1,
-                         bitorder="little").view(np.uint64).ravel()
+    packed_bytes = np.packbits(sig_bits, axis=1, bitorder="little")
+    packed = packed_bytes.view("<u8").astype(np.uint64).ravel()
     out[nonempty] = packed
     return out
 

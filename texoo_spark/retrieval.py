@@ -63,10 +63,25 @@ def build_bm25_index(docs: DataFrame, id_col: str = "doc_id",
             "stats": stats}
 
 
+# indexes built internally by bm25_scores/bm25_topk (index=None); release
+# with release_bm25_caches() — callers who build their own index own its
+# lifecycle via unpersist_bm25_index
+_INTERNAL_INDEXES: list = []
+
+
 def unpersist_bm25_index(index: dict[str, DataFrame]) -> None:
     """Release the cached postings/doclen of a build_bm25_index result."""
     index["postings"].unpersist()
     index["doclen"].unpersist()
+
+
+def release_bm25_caches() -> int:
+    """Unpersist every index built internally by bm25_scores/bm25_topk
+    calls that did not receive a prebuilt index. Returns the count."""
+    n = len(_INTERNAL_INDEXES)
+    while _INTERNAL_INDEXES:
+        unpersist_bm25_index(_INTERNAL_INDEXES.pop())
+    return n
 
 
 def bm25_scores(docs: DataFrame, queries: DataFrame,
@@ -84,8 +99,11 @@ def bm25_scores(docs: DataFrame, queries: DataFrame,
     once) and one (query_id, doc_id) aggregation. Pass a prebuilt
     `index` from build_bm25_index to amortize across calls.
     """
-    idx = index if index is not None else build_bm25_index(
-        docs, id_col, text_col)
+    if index is not None:
+        idx = index
+    else:
+        idx = build_bm25_index(docs, id_col, text_col)
+        _INTERNAL_INDEXES.append(idx)
     stats = idx["stats"].collect()[0]
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
 
