@@ -1222,6 +1222,30 @@ def q_bemd_segments(spark, sf_dir):
         run, "label int, seg_idx long, sent_begin long, sent_end long"))
 
 
+def q_passage_retrieval(spark, sf_dir):
+    """SURVEY §3.3 QueryRunner lifecycle end-to-end: passages (each doc's
+    first-5-word sentence) and queries (docs < 5, words 6-10) embedded by
+    the sentemb producer, cosine-scored via a broadcast query join with
+    JVM-side zip_with/aggregate, window top-5 per query."""
+    from texoo_spark.knn import cosine_topk_join
+    from texoo_spark.sentemb import embed_sentences
+    docs = _load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    passages = embed_sentences(
+        docs.select("doc_id",
+                    F.array_join(F.slice(words, 1, 5), " ")
+                    .alias("sentence")))
+    queries = embed_sentences(
+        docs.filter(F.col("doc_id") < 5)
+        .select(F.col("doc_id").alias("query_id"),
+                F.array_join(F.slice(words, 6, 5), " ").alias("sentence")))
+    return (cosine_topk_join(passages, queries, k=5)
+            .select(F.col("query_id").cast("long").alias("query_id"),
+                    F.col("rank").cast("long").alias("rank"),
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    "cosine"))
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark-contamination sweep: docs < 400 are 'train'; docs >= 400
     become 'test' with their first 12 words replaced by train doc
@@ -1374,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tagged_mentions_trained": q_tagged_mentions_trained,
         "sentence_embeddings": q_sentence_embeddings,
         "contamination": q_contamination,
+        "passage_retrieval": q_passage_retrieval,
         "unigram_surprisal": q_unigram_surprisal,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
@@ -2075,6 +2100,35 @@ def oracle_sql() -> dict[str, str]:
         # machine without /root/reference the entry degrades to rows-only
         # instead of breaking the whole oracle dict
         **_maybe_tagged_trained_oracle(),
+        "passage_retrieval": (
+            "WITH pg AS (SELECT doc_id, flatten(list_transform("
+            " string_split(text, ' ')[1:5], wv -> list_transform("
+            " range(1, length('#' || lower(wv) || '#') - 1),"
+            " gi -> ('#' || lower(wv) || '#')[gi : gi + 2]))) AS grams"
+            " FROM documents),"
+            " pc AS (SELECT doc_id, list_transform(range(0, 64), j ->"
+            " CAST(len(list_filter(list_transform(grams, g2 -> CAST("
+            + _SQL_FNV.format(s="g2") + " % 64 AS BIGINT)), bk -> bk = j))"
+            " AS DOUBLE)) AS cv FROM pg),"
+            " qg AS (SELECT doc_id AS query_id, flatten(list_transform("
+            " string_split(text, ' ')[6:10], wv -> list_transform("
+            " range(1, length('#' || lower(wv) || '#') - 1),"
+            " gi -> ('#' || lower(wv) || '#')[gi : gi + 2]))) AS grams"
+            " FROM documents WHERE doc_id < 5),"
+            " qc AS (SELECT query_id, list_transform(range(0, 64), j ->"
+            " CAST(len(list_filter(list_transform(grams, g2 -> CAST("
+            + _SQL_FNV.format(s="g2") + " % 64 AS BIGINT)), bk -> bk = j))"
+            " AS DOUBLE)) AS qv FROM qg),"
+            " s AS (SELECT query_id, doc_id,"
+            " ROUND(list_inner_product(cv, qv) / (sqrt(list_inner_product("
+            " cv, cv)) * sqrt(list_inner_product(qv, qv))), 6) AS cosine"
+            " FROM pc CROSS JOIN qc),"
+            " r AS (SELECT query_id, doc_id, cosine, ROW_NUMBER() OVER ("
+            " PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank"
+            " FROM s)"
+            " SELECT CAST(query_id AS BIGINT) AS query_id,"
+            " CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT)"
+            " AS doc_id, cosine FROM r WHERE rank <= 5"),
         "contamination": (
             "WITH src AS (SELECT doc_id + 400 AS doc_id2,"
             " array_to_string(string_split(text, ' ')[1:12], ' ')"

@@ -126,3 +126,14 @@ def test_embedding_band_exchange_carries_no_vectors(spark):
         .replace("SortMergeJoin", "Join").replace("ShuffledHashJoin", "Join")
     # vectors enter the plan only through the post-distinct id joins
     assert plan.count("AS v_a") == 1 and plan.count("AS v_b") == 1
+
+
+def test_passage_retrieval_broadcasts_queries(spark):
+    """SURVEY 3.3 lane: the query-vector side must broadcast — the passage
+    table (the 100TB side) never shuffles for the scoring join; cosine
+    stays JVM-side after the embedding producer."""
+    import __spark_entry__ as e
+    plan = plan_of(e.q_passage_retrieval(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # exactly the two embedding-producer UDF stages cross into Python
+    assert plan.count("ArrowEvalPython") == 2

@@ -91,6 +91,42 @@ def brute_force_topk_batch(df: DataFrame, queries: np.ndarray, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+def cosine_topk_join(passages: DataFrame, queries: DataFrame, k: int = 5,
+                     p_id: str = "doc_id", q_id: str = "query_id",
+                     p_vec: str = "embedding", q_vec: str = "embedding",
+                     round_decimals: int | None = 6) -> DataFrame:
+    """QueryRunner.retrieveAllQueries equivalent (texoo-cdv/.../retrieval/
+    QueryRunner.java:77-170): score every passage against every query
+    vector by cosine, keep top-k per query -> (query_id, rank, passage id,
+    cosine).
+
+    Plan: the (small) query side is broadcast against the passage table —
+    the 100TB side never shuffles for the join; cosine is a JVM-side
+    zip_with/aggregate (no Python), and the per-query window keeps k rows.
+    Ranking compares round_decimals-rounded cosines with a passage-id
+    tie-break for reproducible membership."""
+    p = passages.select(F.col(p_id).alias("p_id"),
+                        F.col(p_vec).alias("pv"))
+    q = queries.select(F.col(q_id).alias("query_id"),
+                       F.col(q_vec).alias("qv"))
+    joined = p.crossJoin(F.broadcast(q))
+    dot = F.aggregate(F.zip_with("pv", "qv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = (F.sqrt(F.aggregate(F.transform("pv", lambda a: a * a),
+                               F.lit(0.0), lambda acc, x: acc + x))
+            * F.sqrt(F.aggregate(F.transform("qv", lambda a: a * a),
+                                 F.lit(0.0), lambda acc, x: acc + x)))
+    cos = dot / norm
+    if round_decimals is not None:
+        cos = F.round(cos, round_decimals)
+    scored = joined.select("query_id", F.col("p_id").alias(p_id),
+                           cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.col(p_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def ivf_assign(df: DataFrame, n_cells: int = 16,
                id_col: str = "vec_id", vec_col: str = "embedding",
                seed_stride: int | None = None,
