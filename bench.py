@@ -140,7 +140,10 @@ def main():
                   "top_order_per_customer", "events_hourly",
                   "running_user_totals", "knn_cosine", "dedup_prefix",
                   "extract_tokens", "html_main_content", "gazetteer_matches",
-                  "minhash_near_dups", "quality_scores"]
+                  "minhash_near_dups", "quality_scores",
+                  # round-2 lanes
+                  "contamination", "passage_retrieval", "unigram_surprisal",
+                  "tagged_mentions_trained", "pk_metric"]
     for name in headliners:
         fn = qfns[name]
         t0 = time.perf_counter()

@@ -124,11 +124,23 @@ def conll_fixture_examples(path: str = CONLL_FIXTURE):
 
 
 def make_surface_trigram_featurizer(ngram_encoder):
-    """Featurizer: [surface(11) | trigram one-hot(|vocab|)] per token."""
+    """Featurizer: [surface(11) | trigram one-hot(|vocab|)] per token.
+    Rows are cached per distinct token string (token vocabularies repeat
+    heavily across a batch, so inference cost tracks the vocab, not the
+    token count)."""
+    cache: dict[str, np.ndarray] = {}
+
     def featurize(tokens: list[str]) -> np.ndarray:
-        surf = np.vstack([surface_features(t) for t in tokens])
-        tri = np.vstack([ngram_encoder.encode(t) for t in tokens])
-        return np.hstack([surf, tri]).astype(np.float64)
+        rows = []
+        for t in tokens:
+            row = cache.get(t)
+            if row is None:
+                row = np.concatenate([surface_features(t),
+                                      ngram_encoder.encode(t)]
+                                     ).astype(np.float64)
+                cache[t] = row
+            rows.append(row)
+        return np.vstack(rows)
     return featurize
 
 
