@@ -1222,6 +1222,25 @@ def q_bemd_segments(spark, sf_dir):
         run, "label int, seg_idx long, sent_begin long, sent_end long"))
 
 
+def q_frame_samples(spark, sf_dir):
+    """Multimodal frame-sampling PLAN: (media_id, duration_ms) metadata
+    expands to one row per sampled frame timestamp WITHOUT touching
+    payload bytes — frame decode happens downstream only for these rows
+    (the never-decode-unsampled-frames rule). Media metadata derived from
+    documents (duration = 250ms/word; every 3rd doc is a video)."""
+    from texoo_spark.multimodal import frame_sample_plan
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video/mp4")
+        .otherwise("image/png").alias("mime"),
+        (F.size(F.split(F.col("text"), " ")) * F.lit(250)).cast("int")
+        .alias("duration_ms"))
+    return (frame_sample_plan(media, every_ms=1000)
+            .select("media_id",
+                    F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")))
+
+
 def q_passage_retrieval(spark, sf_dir):
     """SURVEY §3.3 QueryRunner lifecycle end-to-end: passages (each doc's
     first-5-word sentence) and queries (docs < 5, words 6-10) embedded by
@@ -1399,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_embeddings": q_sentence_embeddings,
         "contamination": q_contamination,
         "passage_retrieval": q_passage_retrieval,
+        "frame_samples": q_frame_samples,
         "unigram_surprisal": q_unigram_surprisal,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
@@ -2100,6 +2120,11 @@ def oracle_sql() -> dict[str, str]:
         # machine without /root/reference the entry degrades to rows-only
         # instead of breaking the whole oracle dict
         **_maybe_tagged_trained_oracle(),
+        "frame_samples": (
+            "SELECT doc_id AS media_id, CAST(unnest(range(0,"
+            " greatest(len(string_split(text, ' ')) * 250 - 1, 0) + 1,"
+            " 1000)) AS BIGINT) AS frame_ts_ms"
+            " FROM documents WHERE doc_id % 3 = 0"),
         "passage_retrieval": (
             "WITH pg AS (SELECT doc_id, flatten(list_transform("
             " string_split(text, ' ')[1:5], wv -> list_transform("
