@@ -1144,7 +1144,7 @@ def q_embedding_near_dups(spark, sf_dir):
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * 1.0001).alias("embedding"))
     both = emb.select("vec_id", "embedding").unionByName(noised)
-    return (embedding_near_dups(both, min_cosine=0.999)
+    return (embedding_near_dups(both, min_cosine=0.999, dims=64)
             .filter(F.col("id_b") - F.col("id_a") == 1_000_000)
             .select("id_a", "id_b"))
 
@@ -2163,13 +2163,15 @@ def oracle_sql() -> dict[str, str]:
             " [13:len(string_split(d.text, ' '))], ' '), '') AS text"
             " FROM documents d JOIN src ON d.doc_id = doc_id2"
             " WHERE d.doc_id >= 400),"
-            " trw AS (SELECT string_split(lower(text), ' ') AS ws"
+            " trw AS (SELECT list_filter(string_split_regex(lower(text),"
+            r" '\s+'), x -> x <> '') AS ws"
             " FROM documents WHERE doc_id < 400),"
             " trh AS (SELECT " + _sql_word_hashes("ws") + " AS wh FROM trw),"
             " th AS (SELECT DISTINCT unnest("
             + _sql_shingles("wh", 8) + ") AS h FROM trh),"
             " tew AS (SELECT doc_id AS test_id,"
-            " string_split(lower(text), ' ') AS ws FROM test),"
+            " list_filter(string_split_regex(lower(text),"
+            r" '\s+'), x -> x <> '') AS ws FROM test),"
             " teh AS (SELECT test_id, " + _sql_word_hashes("ws")
             + " AS wh FROM tew),"
             " te AS (SELECT test_id, unnest(list_distinct("
@@ -2216,7 +2218,8 @@ def oracle_sql() -> dict[str, str]:
             " THEN h - 18446744073709551616 ELSE h END AS BIGINT)"
             " AS fingerprint FROM f"),
         "simhash_near_dups": (
-            "WITH base AS (SELECT doc_id, string_split(lower(text), ' ')"
+            "WITH base AS (SELECT doc_id, list_filter(string_split_regex("
+            r"lower(text), '\s+'), x -> x <> '')"
             " AS wa FROM documents WHERE doc_id < 200),"
             " wl AS (SELECT doc_id, wa,"
             " wa[1 : greatest(len(wa) - 1, 1)] AS wb FROM base),"
@@ -2230,7 +2233,8 @@ def oracle_sql() -> dict[str, str]:
             " CAST(hamming AS INTEGER) AS hamming FROM hm"
             " WHERE hamming <= 3"),
         "minhash_near_dups": (
-            "WITH base AS (SELECT doc_id, string_split(lower(text), ' ')"
+            "WITH base AS (SELECT doc_id, list_filter(string_split_regex("
+            r"lower(text), '\s+'), x -> x <> '')"
             " AS wa FROM documents WHERE doc_id < 200),"
             " wl AS (SELECT doc_id, wa,"
             " wa[1 : greatest(len(wa) - 2, 1)] AS wb FROM base),"
@@ -2276,10 +2280,11 @@ def oracle_sql() -> dict[str, str]:
             " ed AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY xt"
             " ORDER BY conv_id, turn_idx) AS ern FROM q),"
             " sv AS (SELECT conv_id, turn_idx, xt,"
-            " conv_id || '#' || CAST(turn_idx AS VARCHAR) AS sk"
-            " FROM ed WHERE ern = 1),"
+            " conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 12, '0')"
+            " AS sk FROM ed WHERE ern = 1),"
             " wl AS (SELECT sk, conv_id, turn_idx,"
-            " string_split(lower(xt), ' ') AS ws FROM sv),"
+            " list_filter(string_split_regex(lower(xt),"
+            r" '\s+'), x -> x <> '') AS ws FROM sv),"
             " hs AS (SELECT sk, conv_id, turn_idx, "
             + _sql_word_hashes("ws") + " AS wh FROM wl),"
             " sh AS (SELECT sk, conv_id, turn_idx, "

@@ -127,19 +127,50 @@ def extract_annotator(newlines: str = "DISCARD",
 
 
 @register_annotator("tagger")
-def tagger_annotator(trained: bool = False) -> Annotator:
-    """A2 stage: mention tagging with the baseline or the deterministic
-    CoNLL-trained model (retrained on load — identical weights, so the
-    restored bundle reproduces identical output)."""
+def tagger_annotator(trained: bool = False,
+                     weights: list | None = None,
+                     bias: list | None = None,
+                     trigram_vocab: list | None = None,
+                     label: str = "MENTION") -> Annotator:
+    """A2 stage: mention tagging with the baseline or a trained model.
+
+    A trained stage carries its LEARNED PARAMETERS (weights, bias, trigram
+    vocab) in params, so the serialized bundle is self-contained — loading
+    it on a host without the training fixture reproduces identical output
+    (Annotator.writeModel semantics: the bundle IS the model). Passing
+    trained=True without explicit weights trains on the reference CoNLL
+    fixture once and embeds the result."""
+    import numpy as np
+    from texoo_spark.encoders import LetterNGramEncoder
     from texoo_spark.tagger import (LinearTagger, tag_mentions,
+                                    make_surface_trigram_featurizer,
                                     train_conll_tagger)
 
+    if trained and weights is None:
+        tg, enc = train_conll_tagger()
+        weights = [[float(x) for x in row] for row in tg.weights]
+        bias = [float(x) for x in tg.bias]
+        trigram_vocab = sorted(enc.vocab, key=enc.vocab.get)
+        label = tg.label
+
     def fn(df: DataFrame) -> DataFrame:
-        tagger = (train_conll_tagger()[0] if trained
-                  else LinearTagger.capitalized_mention_baseline())
+        if weights is None:
+            tagger = LinearTagger.capitalized_mention_baseline()
+        else:
+            enc = LetterNGramEncoder(n=3)
+            enc.vocab = {g: i for i, g in enumerate(trigram_vocab or [])}
+            tagger = LinearTagger(
+                np.asarray(weights, dtype=np.float64),
+                np.asarray(bias, dtype=np.float64), label=label,
+                featurizer=make_surface_trigram_featurizer(enc)
+                if trigram_vocab else None)
         return tag_mentions(df, tagger)
 
-    return Annotator("tagger", fn, {"trained": trained}, "tagger")
+    params = {"trained": trained}
+    if weights is not None:
+        params.update(weights=weights, bias=bias,
+                      trigram_vocab=trigram_vocab, label=label)
+    return Annotator("tagger", fn, params, "tagger")
 
 
 def extraction_pipeline(newlines: str = "DISCARD",

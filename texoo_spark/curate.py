@@ -97,8 +97,12 @@ def drop_near_dupes(df: DataFrame, text_col: str = "extracted_text",
     lower-key member of each candidate pair survives. Anti-join keeps the
     plan shuffle-bounded (bucket join + one anti-join, no cross join)."""
     from texoo_spark.dedup import minhash_lsh_candidates
+    # survivor key orders by (conv_id, NUMERIC turn_idx): turn_idx is
+    # zero-padded so the lexicographic pair comparison inside the LSH
+    # candidate join ranks turn 2 before turn 10 (a plain concat would not)
     keyed = df.withColumn(
-        "_k", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")))
+        "_k", F.concat_ws("#", "conv_id",
+                          F.lpad(F.col("turn_idx").cast("string"), 12, "0")))
     cands = minhash_lsh_candidates(keyed, id_col="_k", text_col=text_col,
                                    num_hashes=num_hashes, bands=bands)
     losers = cands.select(F.col("id_b").alias("_k")).distinct()

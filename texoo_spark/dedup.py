@@ -15,6 +15,15 @@ All hashes are deterministic FNV/universal-hash derivatives: results are
 stable across executors, retries and cluster sizes (required for resumable
 manifests).
 
+Cache lifecycle: each candidate generator persists its banded signature
+stage into a module registry so both sides of the pair join share one
+signature computation. Callers own the release: wrap calls in
+dedup_cache_scope() (preferred) or call release_dedup_caches() between
+batches — a long-lived service that never releases accumulates storage
+memory. Bucket-drop LOGGING is off by default (it costs an eager job at
+plan-construction time); enable with TEXOO_LSH_DIAGNOSTICS=1 or query
+oversized_buckets() lazily.
+
 Scale guards: every banded self-join caps bucket sizes (max_bucket_size) —
 one degenerate bucket (boilerplate/empty texts sharing a band) would expand
 quadratically in a single task at web scale. Oversized buckets are dropped
@@ -27,7 +36,9 @@ texts genuinely are near-dupes are still caught by their other bands
 
 from __future__ import annotations
 
+import contextlib
 import logging
+import os
 
 import numpy as np
 import pandas as pd
@@ -41,8 +52,17 @@ from texoo_spark.textquality import fnv1a64
 log = logging.getLogger(__name__)
 
 # banded signature DataFrames persisted by the LSH candidate generators;
-# release with release_dedup_caches() when done with the candidate plans
+# release with release_dedup_caches() (or wrap calls in dedup_cache_scope())
+# when done with the candidate plans
 _PERSISTED: list = []
+
+# When True, the candidate generators run an extra diagnostic job at plan
+# construction time that counts (and logs) dropped oversized LSH buckets.
+# Off by default: the count is a full pass over the persisted banded stage,
+# and candidate generation should stay lazy. Enable via the env var
+# TEXOO_LSH_DIAGNOSTICS=1 or by setting this flag; the drop filter itself
+# is ALWAYS applied — only the logging job is optional.
+LSH_DIAGNOSTICS = os.environ.get("TEXOO_LSH_DIAGNOSTICS", "") not in ("", "0")
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
@@ -56,11 +76,29 @@ def release_dedup_caches() -> int:
     minhash_lsh_candidates / simhash_candidates / embedding_near_dups in
     this process. Call after the candidate DataFrames have been consumed
     (a long-running service invoking the generators repeatedly should
-    release between batches). Returns the number of caches released."""
+    release between batches — or use dedup_cache_scope()). Returns the
+    number of caches released."""
     n = len(_PERSISTED)
     while _PERSISTED:
         _PERSISTED.pop().unpersist()
     return n
+
+
+@contextlib.contextmanager
+def dedup_cache_scope():
+    """Context manager bounding the lifetime of the banded-signature
+    caches: every cache persisted by candidate generators inside the
+    block is unpersisted on exit.
+
+        with dedup_cache_scope():
+            pairs = minhash_lsh_candidates(df).collect()
+    """
+    mark = len(_PERSISTED)
+    try:
+        yield
+    finally:
+        while len(_PERSISTED) > mark:
+            _PERSISTED.pop().unpersist()
 
 
 _MASK64 = (1 << 64) - 1
@@ -254,23 +292,37 @@ def _cap_buckets(banded: DataFrame, max_bucket_size: int | None,
                  what: str) -> DataFrame:
     """Drop LSH buckets larger than max_bucket_size before pair expansion.
 
-    banded must already be persisted by the caller (the drop-count
-    diagnostic job and the candidate join then share one signature
-    computation). The drop is logged, never silent."""
+    banded must already be persisted by the caller (the candidate join —
+    and, when LSH_DIAGNOSTICS is on, the drop-count job — then share one
+    signature computation). The drop filter always applies; the eager
+    count+log job runs only when LSH_DIAGNOSTICS is enabled, so plan
+    construction stays lazy by default. oversized_buckets() exposes the
+    same drop set lazily for callers that want the numbers on demand."""
     if max_bucket_size is None:
         return banded
     counts = (banded.groupBy("band", "bucket")
               .agg(F.count("*").alias("_n")))
-    dropped = counts.filter(F.col("_n") > max_bucket_size)
-    n_dropped = dropped.count()
-    if n_dropped:
-        top = dropped.agg(F.max("_n")).collect()[0][0]
-        log.warning(
-            "%s: dropping %d oversized LSH bucket(s) (> %d members, max %d)"
-            " — members remain discoverable through their other bands",
-            what, n_dropped, max_bucket_size, top)
+    if LSH_DIAGNOSTICS:
+        dropped = counts.filter(F.col("_n") > max_bucket_size)
+        row = dropped.agg(F.count("*").alias("n"),
+                          F.max("_n").alias("top")).collect()[0]
+        if row["n"]:
+            log.warning(
+                "%s: dropping %d oversized LSH bucket(s) (> %d members,"
+                " max %d) — members remain discoverable through their"
+                " other bands", what, row["n"], max_bucket_size, row["top"])
     ok = counts.filter(F.col("_n") <= max_bucket_size).drop("_n")
     return banded.join(ok, ["band", "bucket"])
+
+
+def oversized_buckets(banded: DataFrame,
+                      max_bucket_size: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """Lazy view of the (band, bucket, n) groups a candidate generator
+    would drop at max_bucket_size — the on-demand form of the
+    LSH_DIAGNOSTICS logging (no job runs until the caller acts on it)."""
+    return (banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket_size))
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -413,8 +465,8 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
                         n_planes: int = 12, bands: int = 3,
                         min_cosine: float = 0.95,
                         seed: int = 42,
-                        max_bucket_size: int | None = DEFAULT_MAX_BUCKET
-                        ) -> DataFrame:
+                        max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+                        dims: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-random-projection LSH
     (Charikar 2002): hash each vector to n_planes sign bits, band the bits,
     pair only within (band, bucket), verify exact cosine.
@@ -424,9 +476,12 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
     candidate id pairs are made distinct, so full embeddings never ride
     through the band exchange (x bands duplication at web scale).
     Projections and the cosine verify run in float64 so results are
-    reproducible across engines."""
-    first = df.select(vec_col).first()
-    dims = len(first[0])
+    reproducible across engines.
+
+    Pass dims (the embedding dimensionality) to keep plan construction
+    fully lazy; when omitted, one first() job reads it from the data."""
+    if dims is None:
+        dims = len(df.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dims)
     bc = df.sparkSession.sparkContext.broadcast(planes)

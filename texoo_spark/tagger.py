@@ -123,24 +123,33 @@ def conll_fixture_examples(path: str = CONLL_FIXTURE):
     return out
 
 
-def make_surface_trigram_featurizer(ngram_encoder):
+def make_surface_trigram_featurizer(ngram_encoder,
+                                    max_cache_entries: int = 1 << 20):
     """Featurizer: [surface(11) | trigram one-hot(|vocab|)] per token.
-    Rows are cached per distinct token string (token vocabularies repeat
-    heavily across a batch, so inference cost tracks the vocab, not the
-    token count)."""
+
+    Per distinct token string we cache only the ACTIVE FEATURE INDICES
+    (both blocks are 0/1 flags), not the dense row — a few ints per token
+    instead of an 11+|vocab|-wide float64 vector, so a long-lived executor
+    streaming a high-cardinality corpus holds megabytes, not gigabytes.
+    The cache is additionally bounded: at max_cache_entries it resets
+    (token distributions are Zipfian — hot tokens repopulate immediately,
+    and a reset is cheaper and simpler than LRU bookkeeping on executors)."""
+    n_features = SURFACE_SIZE + ngram_encoder.size
     cache: dict[str, np.ndarray] = {}
 
     def featurize(tokens: list[str]) -> np.ndarray:
-        rows = []
-        for t in tokens:
-            row = cache.get(t)
-            if row is None:
-                row = np.concatenate([surface_features(t),
-                                      ngram_encoder.encode(t)]
-                                     ).astype(np.float64)
-                cache[t] = row
-            rows.append(row)
-        return np.vstack(rows)
+        out = np.zeros((len(tokens), n_features), dtype=np.float64)
+        for i, t in enumerate(tokens):
+            idx = cache.get(t)
+            if idx is None:
+                if len(cache) >= max_cache_entries:
+                    cache.clear()
+                surf = np.flatnonzero(surface_features(t))
+                tri = np.flatnonzero(ngram_encoder.encode(t)) + SURFACE_SIZE
+                idx = np.concatenate([surf, tri])
+                cache[t] = idx
+            out[i, idx] = 1.0
+        return out
     return featurize
 
 
