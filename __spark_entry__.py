@@ -87,34 +87,50 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_extract_tokens(spark, sf_dir):
-    """T1/T2 tokenization: token counts per document."""
-    return (_extracted_docs_lean(spark, sf_dir)
-            .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens")))
+    """T1/T2 tokenization, BOTH lanes in one probe: the rule tokenizer hot
+    path (lane 'rule', lean Arrow schema) and the reference's REAL OpenNLP
+    GIS maxent tokenizer model (lane 'maxent', byte-decoded model evaluated
+    per candidate split, loaded once per executor). Token counts must agree
+    with the whitespace oracle on the documents table for both lanes."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
 
+    @pandas_udf(LongType())
+    def cnt_udf(texts: pd.Series) -> pd.Series:
+        from texoo_spark.maxent import maxent_tokenize_pos
+        return pd.Series([len(maxent_tokenize_pos(t or ""))
+                          for t in texts])
 
-def q_extract_two_sentences(spark, sf_dir):
-    """T3 sentence splitting + T7 reconstruction on injected boundaries."""
-    from texoo_spark.extract import extract_discard_udf
+    rule = (_extracted_docs_lean(spark, sf_dir)
+            .select(F.lit("rule").alias("lane"), "doc_id",
+                    F.col("n_tokens").cast("long").alias("n_tokens")))
     docs = _load(spark, sf_dir, "documents")
-    return (docs
-            .withColumn("t2", F.concat(F.col("text"), F.lit(" end. Stop now.")))
-            .withColumn("doc", extract_discard_udf(F.col("t2")))
-            .select("doc_id",
-                    F.col("doc.extracted_text").alias("extracted_text"),
-                    F.col("doc.n_sentences").cast("long").alias("n_sentences")))
+    maxent = docs.select(F.lit("maxent").alias("lane"), "doc_id",
+                         cnt_udf(F.col("text")).alias("n_tokens"))
+    return rule.unionByName(maxent)
 
 
 def q_extract_newline_discard(spark, sf_dir):
-    """T1 Newlines.DISCARD offset algebra end-to-end."""
+    """T1/T3/T7 extraction variants in one probe: 'two_sent' appends an
+    explicit sentence boundary (' end. Stop now.' -> 2 sentences with exact
+    reconstruction); 'nl_discard' prepends 'Header line\\n' exercising the
+    Newlines.DISCARD offset algebra end-to-end."""
     from texoo_spark.extract import extract_discard_udf
     docs = _load(spark, sf_dir, "documents")
-    return (docs
-            .withColumn("t3", F.concat(F.lit("Header line"), F.lit("\n"),
-                                       F.col("text")))
-            .withColumn("doc", extract_discard_udf(F.col("t3")))
-            .select("doc_id",
-                    F.col("doc.extracted_text").alias("extracted_text"),
-                    F.col("doc.n_sentences").cast("long").alias("n_sentences")))
+    two = (docs
+           .withColumn("t2", F.concat(F.col("text"), F.lit(" end. Stop now.")))
+           .withColumn("doc", extract_discard_udf(F.col("t2")))
+           .select(F.lit("two_sent").alias("variant"), "doc_id",
+                   F.col("doc.extracted_text").alias("extracted_text"),
+                   F.col("doc.n_sentences").cast("long").alias("n_sentences")))
+    nld = (docs
+           .withColumn("t3", F.concat(F.lit("Header line"), F.lit("\n"),
+                                      F.col("text")))
+           .withColumn("doc", extract_discard_udf(F.col("t3")))
+           .select(F.lit("nl_discard").alias("variant"), "doc_id",
+                   F.col("doc.extracted_text").alias("extracted_text"),
+                   F.col("doc.n_sentences").cast("long").alias("n_sentences")))
+    return two.unionByName(nld)
 
 
 def q_html_main_content(spark, sf_dir):
@@ -264,12 +280,14 @@ def _segmentation_eval(spark, sf_dir):
     return evaluate_segmentation(gold, pred, doc_key="doc")
 
 
-def q_pk_metric(spark, sf_dir):
-    """V2 Pk per 50-sentence document (SegmentationEvaluation semantics,
-    distributed applyInPandas lane — one shuffle on doc, no global
-    window)."""
+def q_segmentation_metrics(spark, sf_dir):
+    """V2 Pk + V3 WindowDiff per 50-sentence document in one pass
+    (SegmentationEvaluation.java semantics; distributed applyInPandas
+    lane — one shuffle on doc, no global window; both metrics come out of
+    the same per-doc evaluation)."""
     return (_segmentation_eval(spark, sf_dir)
-            .select("doc", "k", F.round("pk", 6).alias("pk")))
+            .select("doc", "k", F.round("pk", 6).alias("pk"),
+                    F.round("wd", 6).alias("wd")))
 
 
 def q_retrieval_mrr(spark, sf_dir):
@@ -298,20 +316,49 @@ def q_retrieval_mrr(spark, sf_dir):
 
 
 def q_knn_cosine(spark, sf_dir):
-    """R6 brute-force cosine top-k against the vec_id=0 embedding
-    (JVM-side zip_with/aggregate; TakeOrderedAndProject plan)."""
-    from texoo_spark.knn import cosine_expr
+    """R6 brute-force cosine top-k, BOTH execution lanes in one probe:
+
+    - lane 'single' (query_id = -1): one query vector against the corpus
+      via JVM-side zip_with/aggregate -> TakeOrderedAndProject (no full
+      shuffle; the rank is stamped on the 10 surviving rows only, so the
+      pre-limit plan keeps its shape).
+    - lane 'batch' (query_id 0-4): a query MATRIX against the corpus via
+      one float64 numpy matmul per Arrow batch, per-query window top-5
+      ranked on round-6 cosine with vec_id tie-break."""
+    import numpy as np
+    from texoo_spark.knn import brute_force_topk_batch, cosine_expr
     emb = (_load(spark, sf_dir, "embeddings")
            .withColumn("emb_d", F.col("embedding").cast("array<double>")))
-    query = emb.filter(F.col("vec_id") == 0).select("emb_d").collect()[0][0]
-    return (emb.select("vec_id",
-                       F.round(cosine_expr("emb_d", query), 6).alias("cosine"))
-            .orderBy(F.desc("cosine"), F.col("vec_id"))
-            .limit(10))
+    qrows = (emb.filter(F.col("vec_id") < 5)
+             .orderBy("vec_id").select("emb_d").collect())
+    queries = np.array([np.asarray(r[0], dtype=np.float64) for r in qrows])
+    single10 = (emb.select("vec_id",
+                           F.round(cosine_expr("emb_d", queries[0].tolist()),
+                                   6).alias("cosine"))
+                .orderBy(F.desc("cosine"), F.col("vec_id"))
+                .limit(10))
+    w10 = Window.orderBy(F.desc("cosine"), F.col("vec_id"))
+    single = single10.select(
+        F.lit("single").alias("lane"), F.lit(-1).cast("long").alias("query_id"),
+        F.row_number().over(w10).cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"), "cosine")
+    batch = (brute_force_topk_batch(emb, queries, k=5, vec_col="emb_d")
+             .select(F.lit("batch").alias("lane"),
+                     F.col("query_id").cast("long").alias("query_id"),
+                     F.col("rank").cast("long").alias("rank"),
+                     F.col("vec_id").cast("long").alias("vec_id"),
+                     F.round(F.col("cosine"), 6).alias("cosine")))
+    return single.unionByName(batch)
 
 
 def q_quality_scores(spark, sf_dir):
-    """Text quality features as pure SQL expressions (JVM-side)."""
+    """Per-document curation profile in one projection: quality features
+    as pure JVM-side SQL expressions (length/digit/stopword ratios),
+    the windowed-min-FNV document fingerprint, and language id — the
+    columns a 100TB curation job computes in its first scan over every
+    document (one Python hop for the two UDF columns, zero shuffles)."""
+    from texoo_spark.extract import detect_language_udf
+    from texoo_spark.udfs import fingerprint_udf
     docs = _load(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n_words = F.size(words).cast("long")
@@ -323,7 +370,9 @@ def q_quality_scores(spark, sf_dir):
     return docs.select(
         "doc_id", n_words.alias("n_words"),
         F.round(digits, 6).alias("digit_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"))
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        fingerprint_udf(F.col("text")).alias("fingerprint"),
+        detect_language_udf(F.col("text")).alias("lang_pred"))
 
 
 def q_conv_rebase(spark, sf_dir):
@@ -388,9 +437,18 @@ def q_max_overlap_token(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: text payloads as opaque binary -> mapInPandas
-    feature extraction (sha256 + byte counts; decode stubbed)."""
-    from texoo_spark.multimodal import extract_media_features
+    """Multimodal plumbing, both lanes in one probe:
+
+    - feature extraction: payloads as opaque binary -> mapInPandas
+      (sha256 + byte counts; decode stubbed — no codecs in env)
+    - frame-sampling PLAN: (media_id, duration_ms) metadata expands to
+      one row per sampled frame timestamp WITHOUT touching payload bytes
+      (decode happens downstream only for sampled rows). Every 3rd doc
+      is a video at 250ms/word; join restricts to those.
+
+    Output: one row per sampled frame with the doc's media features."""
+    from texoo_spark.multimodal import extract_media_features, \
+        frame_sample_plan
     docs = _load(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -398,8 +456,18 @@ def q_media_features(spark, sf_dir):
         F.lit(0).alias("width"), F.lit(0).alias("height"),
         F.lit(0).alias("duration_ms"),
         F.encode(F.col("text"), "utf-8").alias("payload"))
-    return (extract_media_features(media, dims=8)
-            .select(F.col("media_id").alias("doc_id"), "sha256", "n_bytes"))
+    feats = (extract_media_features(media, dims=8)
+             .select("media_id", "sha256", "n_bytes"))
+    video_meta = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video/mp4")
+        .otherwise("image/png").alias("mime"),
+        (F.size(F.split(F.col("text"), " ")) * F.lit(250)).cast("int")
+        .alias("duration_ms"))
+    frames = (frame_sample_plan(video_meta, every_ms=1000)
+              .select("media_id",
+                      F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")))
+    return frames.join(feats, "media_id")
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -417,23 +485,13 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(both, n=3, min_jaccard=0.5)
 
 
-def q_bm25_scores(spark, sf_dir):
-    """Distributed BM25 retrieval (Lucene PassageIndex/DocumentIndex
-    equivalent): score docs against 5 queries built from doc prefixes."""
-    from texoo_spark.retrieval import bm25_scores
-    docs = _load(spark, sf_dir, "documents")
-    queries = (docs.filter(F.col("doc_id") < 5)
-               .select(F.col("doc_id").alias("query_id"),
-                       F.array_join(F.slice(F.split(F.col("text"), " "),
-                                            1, 3), " ").alias("query_text")))
-    return (bm25_scores(docs, queries)
-            .select("query_id", "doc_id",
-                    F.round(F.col("score"), 3).alias("score")))
-
-
 def q_bm25_topk(spark, sf_dir):
-    """Top-k BM25 per query (QueryRunner retrieve shape): round-3 rank key
-    with doc_id tie-break for cross-engine-exact rank membership."""
+    """Distributed BM25 retrieval, scoring + ranking in one probe (Lucene
+    PassageIndex/DocumentIndex + QueryRunner retrieve shape): docs scored
+    against 5 doc-prefix queries (single-build persisted postings,
+    broadcast query terms), round-3 rank key with doc_id tie-break for
+    cross-engine-exact rank membership. The score column value-oracles
+    the scoring machinery; rank the top-k window."""
     from texoo_spark.retrieval import bm25_topk
     docs = _load(spark, sf_dir, "documents")
     queries = (docs.filter(F.col("doc_id") < 5)
@@ -512,11 +570,14 @@ def q_conversation_text(spark, sf_dir):
 
 
 def q_tagged_mentions(spark, sf_dir):
-    """A2/A4 distributed tagger inference: broadcast weights -> batched
-    numpy forward -> BIO2 decode. The deterministic baseline tags
-    capitalized tokens; first 3 words are initcap'd, so n_mentions equals
-    the count of alphabetic first-3 words."""
+    """A2/A4 distributed tagger inference + A13 entity linking, one probe:
+    broadcast weights -> batched numpy forward -> BIO2 decode (the
+    deterministic baseline tags capitalized tokens; first 3 words are
+    initcap'd, so n_mentions = alphabetic first-3-word count), JOINED with
+    the linking lane: first-word mentions against a broadcast alias table
+    derived from the corpus vocabulary, top candidate = the word's entity."""
     from texoo_spark.extract import extract_discard_udf
+    from texoo_spark.linking import link_mentions
     from texoo_spark.tagger import LinearTagger, tag_mentions
     docs = _load(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
@@ -526,10 +587,24 @@ def q_tagged_mentions(spark, sf_dir):
                                                   F.lit(1))), " "))
     extracted = (docs.withColumn("doc", extract_discard_udf(text2))
                  .select("doc_id", "doc.*"))
-    tagged = tag_mentions(extracted,
-                          LinearTagger.capitalized_mention_baseline())
-    return tagged.select(
-        "doc_id", F.size("m_begin").cast("long").alias("n_mentions"))
+    tagged = (tag_mentions(extracted,
+                           LinearTagger.capitalized_mention_baseline())
+              .select("doc_id",
+                      F.size("m_begin").cast("long").alias("n_mentions")))
+    w1 = F.element_at(words, 1)
+    mentions = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"), F.lit(0).alias("begin"),
+        F.length(w1).cast("int").alias("end"), w1.alias("surface"))
+    aliases = (docs.select(F.explode(words).alias("alias"))
+               .distinct()
+               .select("alias", F.upper("alias").alias("entity_id"),
+                       F.length("alias").cast("double").alias("prior")))
+    linked = (link_mentions(mentions, aliases, top_k=1)
+              .filter(F.col("cand_rank") == 1)
+              .select(F.col("conv_id").cast("long").alias("doc_id"),
+                      "entity_id"))
+    return tagged.join(linked, "doc_id")
 
 
 def q_tagged_mentions_trained(spark, sf_dir):
@@ -561,10 +636,17 @@ def q_tagged_mentions_trained(spark, sf_dir):
 
 
 def q_tokens_in_range(spark, sf_dir):
-    """R2 range query: tokens in [10, 40) per doc under BOTH reference
-    semantics — enclosed and boundary-expanding (Document.java:156-174) —
-    as JVM-side higher-order functions over the offset arrays (no UDF,
-    no shuffle beyond the scan)."""
+    """R2 range query + R4 span<->annotation zip, one probe:
+
+    - tokens in [10, 40) per doc under BOTH reference semantics —
+      enclosed and boundary-expanding (Document.java:156-174) — as
+      JVM-side higher-order functions over the offset arrays
+    - two half-document sentence spans each zipped with the single
+      enclosing GOLD annotation (span_zip join)
+
+    Output: one row per (doc, half-span) carrying the zip columns plus
+    the doc's range counts."""
+    from texoo_spark.conversation import span_zip
     b, e = F.lit(10), F.lit(40)
     z = F.arrays_zip("tok_begin", "tok_end")
     enclosed = F.size(F.filter(
@@ -573,37 +655,81 @@ def q_tokens_in_range(spark, sf_dir):
         z, lambda t: ((t["tok_begin"] <= b) & (t["tok_end"] > b))
         | ((t["tok_begin"] >= b) & (t["tok_end"] <= e))
         | ((t["tok_begin"] < e) & (t["tok_end"] >= e))))
-    return (_extracted_docs_lean(spark, sf_dir)
-            .select("doc_id", enclosed.cast("long").alias("n_enclosed"),
-                    expand.cast("long").alias("n_expand")))
+    ranges = (_extracted_docs_lean(spark, sf_dir)
+              .select("doc_id", enclosed.cast("long").alias("n_enclosed"),
+                      expand.cast("long").alias("n_expand")))
+    docs = _load(spark, sf_dir, "documents")
+    n = F.length("text")
+    half = (n / 2).cast("int")
+    spans = docs.select("doc_id", F.lit(0).alias("s_begin"),
+                        half.alias("s_end")).unionByName(
+        docs.select("doc_id", half.alias("s_begin"),
+                    n.cast("int").alias("s_end")))
+    anns = docs.select("doc_id", F.lit(0).alias("a_begin"),
+                       n.cast("int").alias("a_end"),
+                       F.lit("GOLD").alias("a_source"))
+    zipped = (span_zip(spans, anns, ["doc_id"])
+              .select("doc_id",
+                      F.col("s_begin").cast("long").alias("s_begin"),
+                      F.col("s_end").cast("long").alias("s_end"),
+                      F.col("a_end").cast("long").alias("a_end")))
+    return zipped.join(ranges, "doc_id")
 
 
-def q_strong_matches(spark, sf_dir):
-    """R5 STRONG annotation matching (same begin AND end,
-    Annotation.java:143-158): gold spans = even-index tokens, pred spans =
-    every-3rd-index tokens; the STRONG equi-join on (doc, begin, end)
-    counts tokens at indices divisible by 6."""
+def q_span_matches(spark, sf_dir):
+    """R5 STRONG + WEAK annotation matching in one probe
+    (Annotation.java:143-158, after Cornolti et al. 2013):
+
+    - STRONG (same begin AND end): gold = even-index tokens, pred =
+      every-3rd-index tokens; equi-join on (doc, begin, end) counts
+      tokens at indices divisible by 6.
+    - WEAK (any overlap): gold = token pairs (2i, 2i+1) merged into one
+      span; overlap join counts pred tokens intersecting any gold pair.
+
+    One extraction pass feeds both join shapes; per-doc counts joined."""
     toks = (_extracted_docs_lean(spark, sf_dir)
             .select("doc_id", F.posexplode(
                 F.arrays_zip("tok_begin", "tok_end")).alias("i", "t"))
             .select("doc_id", "i", F.col("t.tok_begin").alias("begin"),
                     F.col("t.tok_end").alias("end")))
-    gold = toks.filter(F.col("i") % 2 == 0).select("doc_id", "begin", "end")
-    pred = toks.filter(F.col("i") % 3 == 0).select("doc_id", "begin", "end")
-    return (gold.join(pred, ["doc_id", "begin", "end"])
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_strong")))
+    gold_s = toks.filter(F.col("i") % 2 == 0).select("doc_id", "begin", "end")
+    pred = toks.filter(F.col("i") % 3 == 0)
+    strong = (gold_s.join(pred.select("doc_id", "begin", "end"),
+                          ["doc_id", "begin", "end"])
+              .groupBy("doc_id").agg(F.count("*").alias("n_strong")))
+    even = toks.filter(F.col("i") % 2 == 0).select(
+        "doc_id", (F.col("i") / 2).cast("int").alias("g"),
+        F.col("begin").alias("g_begin"))
+    odd = toks.filter(F.col("i") % 2 == 1).select(
+        "doc_id", ((F.col("i") - 1) / 2).cast("int").alias("g"),
+        F.col("end").alias("g_end"))
+    gold_w = even.join(odd, ["doc_id", "g"])
+    weak = (pred.join(gold_w, ["doc_id"])
+            .filter((F.col("begin") < F.col("g_end"))
+                    & (F.col("end") > F.col("g_begin")))
+            .select("doc_id", "i").distinct()
+            .groupBy("doc_id").agg(F.count("*").alias("n_weak")))
+    return (strong.join(weak, "doc_id", "full_outer")
+            .select("doc_id",
+                    F.coalesce("n_strong", F.lit(0)).alias("n_strong"),
+                    F.coalesce("n_weak", F.lit(0)).alias("n_weak")))
 
 
-def q_wiki727_sections(spark, sf_dir):
-    """S5 Wiki727 reader, distributed: per doc, a 3-section wholetext in
-    the '========,<level>,<heading>.' format is parsed by read_wiki727
-    inside a pandas UDF; returns section count + last section body."""
+def q_segmentation_readers(spark, sf_dir):
+    """S5 Wiki727 + S6 Choi + S7 MultiSeg readers, one probe: per doc each
+    source format is synthesized from the document's words and parsed by
+    its real reader inside a pandas UDF; unified output
+    (source, doc_id, n_segments, last_text):
+
+    - wiki727: 3 sections in '========,<level>,<heading>.' format
+    - choi: 3 '==========' separated segments
+    - multiseg: 3 pre-tokenized lines + a label covering lines 0-0 and
+      2-2 ONLY — the uncovered middle line must be dropped (MultiSegReader
+      line-range semantics), yielding 2 sections"""
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import StringType
 
     @pandas_udf("n_sections long, last_text string")
-    def parse_udf(texts: pd.Series) -> pd.DataFrame:
+    def wiki727_udf(texts: pd.Series) -> pd.DataFrame:
         from texoo_spark.readers import read_wiki727
         ns, lt = [], []
         for t in texts:
@@ -612,23 +738,54 @@ def q_wiki727_sections(spark, sf_dir):
             lt.append(secs[-1]["text"].strip() if secs else "")
         return pd.DataFrame({"n_sections": ns, "last_text": lt})
 
+    @pandas_udf("n_sections long, last_text string")
+    def choi_udf(texts: pd.Series) -> pd.DataFrame:
+        from texoo_spark.readers import read_choi
+        ns, ls = [], []
+        for t in texts:
+            segs = read_choi(t)
+            ns.append(len(segs))
+            ls.append(segs[-1] if segs else "")
+        return pd.DataFrame({"n_sections": ns, "last_text": ls})
+
+    @pandas_udf("n_sections long, last_text string")
+    def multiseg_udf(texts: pd.Series) -> pd.DataFrame:
+        from texoo_spark.readers import read_multiseg
+        label = "t 0::0-0 0::2-2"
+        ns, ls = [], []
+        for t in texts:
+            secs = read_multiseg(t, label, 0)
+            ns.append(len(secs))
+            ls.append(secs[-1]["sentences"][-1] if secs else "")
+        return pd.DataFrame({"n_sections": ns, "last_text": ls})
+
     docs = _load(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    wholetext = F.concat(
-        F.lit("========,1,Intro.\n"),
-        F.array_join(F.slice(words, 1, 5), " "), F.lit("\n"),
-        F.lit("========,2,Details.\n"),
-        F.array_join(F.slice(words, 6, 5), " "), F.lit("\n"),
-        F.lit("========,2,More.\n"),
-        F.array_join(F.slice(words, 11, F.size(words) - 10), " "),
-        F.lit("\n"))
-    return (docs.filter(F.size(words) >= 12)
-            .withColumn("w", parse_udf(wholetext))
-            .select("doc_id", F.col("w.n_sections").alias("n_sections"),
-                    F.col("w.last_text").alias("last_text")))
+    seg1 = F.array_join(F.slice(words, 1, 5), " ")
+    seg2 = F.array_join(F.slice(words, 6, 5), " ")
+    seg3 = F.array_join(F.slice(words, 11, F.size(words) - 10), " ")
+    wiki_text = F.concat(
+        F.lit("========,1,Intro.\n"), seg1, F.lit("\n"),
+        F.lit("========,2,Details.\n"), seg2, F.lit("\n"),
+        F.lit("========,2,More.\n"), seg3, F.lit("\n"))
+    choi_text = F.concat(
+        F.lit("==========\n"), seg1, F.lit("\n==========\n"),
+        seg2, F.lit("\n==========\n"), seg3)
+    multiseg_text = F.concat(seg1, F.lit("\n"), seg2, F.lit("\n"), seg3)
+    base = docs.filter(F.size(words) >= 12)
+
+    def lane(source: str, udf_col) -> DataFrame:
+        return (base.withColumn("w", udf_col)
+                .select(F.lit(source).alias("source"), "doc_id",
+                        F.col("w.n_sections").alias("n_segments"),
+                        F.col("w.last_text").alias("last_text")))
+
+    return (lane("wiki727", wiki727_udf(wiki_text))
+            .unionByName(lane("choi", choi_udf(choi_text)))
+            .unionByName(lane("multiseg", multiseg_udf(multiseg_text))))
 
 
-def q_conll_mentions(spark, sf_dir):
+def _conll_part(spark, sf_dir):
     """S3 CoNLL reader, distributed: per doc, token-per-line CoNLL text
     with a B-PER/I-PER/O tag cycle is parsed by read_conll inside a pandas
     UDF; mention count = one per B tag = ceil(n_words / 3)."""
@@ -652,7 +809,19 @@ def q_conll_mentions(spark, sf_dir):
         "doc_id", mention_count_udf(F.col("text")).alias("n_mentions"))
 
 
-def q_wikisection_gold(spark, sf_dir):
+def q_mention_readers(spark, sf_dir):
+    """S3 CoNLL + S9 WNED-XML mention readers, one probe: both real
+    parsers run per doc and their outputs join on doc_id
+    (conll_mentions / wned_mentions counts + WNED first-mention fields)."""
+    conll = (_conll_part(spark, sf_dir)
+             .select("doc_id", F.col("n_mentions").alias("conll_mentions")))
+    wned = (_wned_part(spark, sf_dir)
+            .select("doc_id", F.col("n_mentions").alias("wned_mentions"),
+                    "first_surface", "first_length"))
+    return conll.join(wned, "doc_id")
+
+
+def _wikisection_part(spark, sf_dir):
     """S4 WikiSection JSON reader, distributed: per doc, a JSON document
     with two GOLD SectionAnnotations (built with to_json, parsed with
     read_wikisection in a pandas UDF); returns section count, first
@@ -694,66 +863,7 @@ def q_wikisection_gold(spark, sf_dir):
                     F.col("w.last_end").alias("last_end")))
 
 
-def q_choi_segments(spark, sf_dir):
-    """S6 Choi reader, distributed: '==========' separated wholetext with
-    3 segments per doc; returns segment count and last segment."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("n_segments long, last_segment string")
-    def parse_udf(texts: pd.Series) -> pd.DataFrame:
-        from texoo_spark.readers import read_choi
-        ns, ls = [], []
-        for t in texts:
-            segs = read_choi(t)
-            ns.append(len(segs))
-            ls.append(segs[-1] if segs else "")
-        return pd.DataFrame({"n_segments": ns, "last_segment": ls})
-
-    docs = _load(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    wholetext = F.concat(
-        F.lit("==========\n"),
-        F.array_join(F.slice(words, 1, 5), " "), F.lit("\n==========\n"),
-        F.array_join(F.slice(words, 6, 5), " "), F.lit("\n==========\n"),
-        F.array_join(F.slice(words, 11, F.size(words) - 10), " "))
-    return (docs.filter(F.size(words) >= 12)
-            .withColumn("w", parse_udf(wholetext))
-            .select("doc_id", F.col("w.n_segments").alias("n_segments"),
-                    F.col("w.last_segment").alias("last_segment")))
-
-
-def q_multiseg_sections(spark, sf_dir):
-    """S7 MultiSeg reader, distributed: per doc, a 3-line pre-tokenized
-    file (5/5/rest words) plus a label covering lines 0-0 and 2-2 ONLY is
-    parsed by read_multiseg in a pandas UDF — the uncovered middle line
-    must be dropped (MultiSegReader line-range semantics), yielding 2
-    sections whose last sentence is the words from 11 on."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("n_sections long, last_sent string")
-    def parse_udf(texts: pd.Series) -> pd.DataFrame:
-        from texoo_spark.readers import read_multiseg
-        label = "t 0::0-0 0::2-2"
-        ns, ls = [], []
-        for t in texts:
-            secs = read_multiseg(t, label, 0)
-            ns.append(len(secs))
-            ls.append(secs[-1]["sentences"][-1] if secs else "")
-        return pd.DataFrame({"n_sections": ns, "last_sent": ls})
-
-    docs = _load(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    wholetext = F.concat(
-        F.array_join(F.slice(words, 1, 5), " "), F.lit("\n"),
-        F.array_join(F.slice(words, 6, 5), " "), F.lit("\n"),
-        F.array_join(F.slice(words, 11, F.size(words) - 10), " "))
-    return (docs.filter(F.size(words) >= 12)
-            .withColumn("w", parse_udf(wholetext))
-            .select("doc_id", F.col("w.n_sections").alias("n_sections"),
-                    F.col("w.last_sent").alias("last_sent")))
-
-
-def q_wikicities_docs(spark, sf_dir):
+def _wikicities_part(spark, sf_dir):
     """S8 WikiCities reader, distributed: per doc, 4 dataset lines (2
     TOP-LEVEL + 2 unheaded) parsed twice — with and without
     skipTopLevelSegment — returning both section counts and the unheaded
@@ -790,7 +900,16 @@ def q_wikicities_docs(spark, sf_dir):
                     F.col("w.body_text").alias("body_text")))
 
 
-def q_wned_mentions(spark, sf_dir):
+def q_wiki_readers(spark, sf_dir):
+    """S4 WikiSection + S8 WikiCities readers, one probe: both real
+    parsers run per doc (JSON annotations / dataset-line format) and
+    their per-doc outputs are joined on doc_id — one wide row per doc
+    that passes both synthesizers' length gates."""
+    return (_wikisection_part(spark, sf_dir)
+            .join(_wikicities_part(spark, sf_dir), "doc_id"))
+
+
+def _wned_part(spark, sf_dir):
     """S9 WNED XML reader, distributed: per doc, a 2-annotation WNED XML
     is parsed by read_wned_annotations inside a pandas UDF."""
     from pyspark.sql.functions import pandas_udf
@@ -830,31 +949,51 @@ def q_wned_mentions(spark, sf_dir):
 
 
 def q_tokenized_roundtrip(spark, sf_dir):
-    """T4 createTokensFromTokenizedText: offsets rebuilt from pre-tokenized
-    input; reconstruction must round-trip the input exactly."""
+    """T4 createTokensFromTokenizedText + E2 LetterNGramEncoder in one
+    per-doc probe: offsets rebuilt from pre-tokenized input (reconstruction
+    must round-trip exactly) plus the padded char-trigram count of the
+    first word ('#w#' windows; equals len(word) for len >= 1)."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("recon string, n_tokens long")
+    @pandas_udf("recon string, n_tokens long, n_trigrams long")
     def rt_udf(texts: pd.Series) -> pd.DataFrame:
+        from texoo_spark.encoders import LetterNGramEncoder
         from texoo_spark.textops import document_from_tokenized_text
-        recon, nt = [], []
+        enc = LetterNGramEncoder(n=3)
+        recon, nt, tg = [], [], []
         for t in texts:
             doc = document_from_tokenized_text(t or "")
             recon.append(doc.text)
             nt.append(len(doc.tokens))
-        return pd.DataFrame({"recon": recon, "n_tokens": nt})
+            first = (t or "").split(" ")[0] if t else ""
+            tg.append(len(enc.ngrams(first)))
+        return pd.DataFrame({"recon": recon, "n_tokens": nt,
+                             "n_trigrams": tg})
 
     docs = _load(spark, sf_dir, "documents")
     return (docs.withColumn("w", rt_udf(F.col("text")))
             .select("doc_id", F.col("w.recon").alias("recon"),
-                    F.col("w.n_tokens").alias("n_tokens")))
+                    F.col("w.n_tokens").alias("n_tokens"),
+                    F.col("w.n_trigrams").alias("n_trigrams")))
 
 
-def q_minimal_lowercase_keys(spark, sf_dir):
-    """T9 MinimalLowercasePreprocessor: normalization key of the first
-    word with the doc id appended (digit runs -> '#', lowercase)."""
+def q_normalized_text(spark, sf_dir):
+    """T8 normalizer chain + T9 MinimalLowercasePreprocessor in one
+    per-doc projection: replaceDashes -> replaceNumbers -> replaceSpaces
+    on text + '-' + doc_id (WordHelpers.java:171-203), and the
+    minimal-lowercase normalization key of the initcap'd first word with
+    the doc id appended (digit runs -> '#', lowercase)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def norm_udf(texts: pd.Series) -> pd.Series:
+        from texoo_spark.textops import (replace_dashes, replace_numbers,
+                                         replace_spaces)
+        return pd.Series([
+            replace_spaces(replace_numbers(
+                replace_dashes(t or "", " "), "#"), "_")
+            for t in texts])
 
     @pandas_udf(StringType())
     def key_udf(words: pd.Series) -> pd.Series:
@@ -862,9 +1001,12 @@ def q_minimal_lowercase_keys(spark, sf_dir):
         return pd.Series([minimal_lowercase(w or "") for w in words])
 
     docs = _load(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit("-"),
+                   F.col("doc_id").cast("string"))
     w1 = F.element_at(F.split(F.col("text"), " "), 1)
-    raw = F.concat(F.initcap(w1), F.col("doc_id").cast("string"))
-    return docs.select("doc_id", key_udf(raw).alias("norm_key"))
+    key_raw = F.concat(F.initcap(w1), F.col("doc_id").cast("string"))
+    return docs.select("doc_id", norm_udf(raw).alias("norm_text"),
+                       key_udf(key_raw).alias("norm_key"))
 
 
 def q_bow_vocab(spark, sf_dir):
@@ -940,31 +1082,14 @@ def q_max_segments(spark, sf_dir):
             .applyInPandas(run, "label int, n_segments long"))
 
 
-def q_normalized_text(spark, sf_dir):
-    """T8 normalizer chain (replaceDashes -> replaceNumbers ->
-    replaceSpaces, WordHelpers.java:171-203) on text + '-' + doc_id."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import StringType
-
-    @pandas_udf(StringType())
-    def norm_udf(texts: pd.Series) -> pd.Series:
-        from texoo_spark.textops import (replace_dashes, replace_numbers,
-                                         replace_spaces)
-        return pd.Series([
-            replace_spaces(replace_numbers(
-                replace_dashes(t or "", " "), "#"), "_")
-            for t in texts])
-
-    docs = _load(spark, sf_dir, "documents")
-    raw = F.concat(F.col("text"), F.lit("-"),
-                   F.col("doc_id").cast("string"))
-    return docs.select("doc_id", norm_udf(raw).alias("norm_text"))
-
-
 def q_serializer_roundtrip(spark, sf_dir):
-    """S10 Document-JSON sink/source round trip: extraction output ->
-    Document JSON rows -> write json -> fixed-schema read back."""
+    """S10 Document-JSON sink/source round trip + S1/S2 raw-text directory
+    reader in one probe: every doc goes extraction -> Document JSON rows ->
+    write json -> fixed-schema read back (id, end); docs < 10 are also
+    written as one UTF-8 file each and read back via spark.read.text
+    (wholetext) with filename provenance (n_chars; NULL for docs >= 10)."""
     import tempfile
+    from texoo_spark.readers import read_raw_text_documents
     from texoo_spark.serializer import (extracted_to_documents,
                                         read_documents_json,
                                         write_documents_json)
@@ -976,29 +1101,22 @@ def q_serializer_roundtrip(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="texoo_json_") + "/docs"
     write_documents_json(extracted_to_documents(docs), path)
     back = read_documents_json(spark, path)
-    return back.select("id", F.col("end").cast("long").alias("end"))
+    ser = back.select("id", F.col("end").cast("long").alias("end"))
 
-
-def q_linked_mentions(spark, sf_dir):
-    """A13 entity linking: first-word mentions joined against a
-    broadcast alias table derived from the corpus vocabulary; the top
-    candidate per mention is the word's entity."""
-    from texoo_spark.linking import link_mentions
-    docs = _load(spark, sf_dir, "documents")
-    w1 = F.element_at(F.split(F.col("text"), " "), 1)
-    mentions = docs.select(
-        F.col("doc_id").cast("string").alias("conv_id"),
-        F.lit(0).alias("turn_idx"), F.lit(0).alias("begin"),
-        F.length(w1).cast("int").alias("end"), w1.alias("surface"))
-    aliases = (docs.select(F.explode(F.split(F.col("text"), " "))
-                           .alias("alias"))
-               .distinct()
-               .select("alias", F.upper("alias").alias("entity_id"),
-                       F.length("alias").cast("double").alias("prior")))
-    linked = link_mentions(mentions, aliases, top_k=1)
-    return (linked.filter(F.col("cand_rank") == 1)
-            .select(F.col("conv_id").cast("long").alias("doc_id"),
-                    "entity_id"))
+    raw_rows = (_load(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") < 10)
+                .select("doc_id", "text").collect())
+    d = tempfile.mkdtemp(prefix="texoo_raw_")
+    for r in raw_rows:
+        with open(os.path.join(d, f"doc_{r.doc_id:04d}.txt"), "w") as f:
+            f.write(r.text)
+    raw_df = read_raw_text_documents(spark, os.path.join(d, "*.txt"))
+    raw_id = F.regexp_extract(F.col("source"), r"doc_(\d+)\.txt", 1) \
+        .cast("long")
+    raw = raw_df.select(
+        F.concat(raw_id.cast("string"), F.lit("#0")).alias("id"),
+        F.length("text").cast("long").alias("n_chars"))
+    return ser.join(raw, "id", "left")
 
 
 def q_bio_decode(spark, sf_dir):
@@ -1039,97 +1157,6 @@ def q_char_trigrams(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     w1 = F.element_at(F.split(F.col("text"), " "), 1)
     return docs.select("doc_id", tri_udf(w1).alias("n_trigrams"))
-
-
-def q_span_zip(spark, sf_dir):
-    """R4 span<->annotation zip: two half-document sentence spans each
-    paired with the single enclosing GOLD annotation."""
-    from texoo_spark.conversation import span_zip
-    docs = _load(spark, sf_dir, "documents")
-    n = F.length("text")
-    half = (n / 2).cast("int")
-    spans = docs.select("doc_id", F.lit(0).alias("s_begin"),
-                        half.alias("s_end")).unionByName(
-        docs.select("doc_id", half.alias("s_begin"),
-                    n.cast("int").alias("s_end")))
-    anns = docs.select("doc_id", F.lit(0).alias("a_begin"),
-                       n.cast("int").alias("a_end"),
-                       F.lit("GOLD").alias("a_source"))
-    return (span_zip(spans, anns, ["doc_id"])
-            .select("doc_id", F.col("s_begin").cast("long").alias("s_begin"),
-                    F.col("s_end").cast("long").alias("s_end"),
-                    F.col("a_end").cast("long").alias("a_end")))
-
-
-def q_raw_text_docs(spark, sf_dir):
-    """S1/S2 raw-text directory reader: 10 docs written as one UTF-8 file
-    each, read back via spark.read.text(wholetext) with filename
-    provenance and name-ordering."""
-    import tempfile
-    from texoo_spark.readers import read_raw_text_documents
-    docs = (_load(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 10)
-            .select("doc_id", "text").collect())
-    d = tempfile.mkdtemp(prefix="texoo_raw_")
-    for r in docs:
-        with open(os.path.join(d, f"doc_{r.doc_id:04d}.txt"), "w") as f:
-            f.write(r.text)
-    df = read_raw_text_documents(spark, os.path.join(d, "*.txt"))
-    doc_id = F.regexp_extract(F.col("source"), r"doc_(\d+)\.txt", 1) \
-        .cast("long")
-    return df.select(doc_id.alias("doc_id"),
-                     F.length("text").cast("long").alias("n_chars"))
-
-
-def q_maxent_tokens(spark, sf_dir):
-    """T2 model-faithful lane: token counts through the reference's REAL
-    OpenNLP GIS tokenizer model (byte-decoded, evaluated per candidate
-    split inside a pandas UDF; model loaded once per executor worker)."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType
-
-    @pandas_udf(LongType())
-    def cnt_udf(texts: pd.Series) -> pd.Series:
-        from texoo_spark.maxent import maxent_tokenize_pos
-        return pd.Series([len(maxent_tokenize_pos(t or ""))
-                          for t in texts])
-
-    docs = _load(spark, sf_dir, "documents")
-    return docs.select("doc_id", cnt_udf(F.col("text")).alias("n_tokens"))
-
-
-def q_weak_matches(spark, sf_dir):
-    """R5 WEAK annotation matching (any overlap, Annotation.java:152-158
-    after Cornolti et al. 2013): gold spans = token pairs (2i, 2i+1) merged,
-    pred spans = tokens; overlap join counts pred tokens intersecting any
-    gold pair span."""
-    toks = (_extracted_docs_lean(spark, sf_dir)
-            .select("doc_id", F.posexplode(
-                F.arrays_zip("tok_begin", "tok_end")).alias("i", "t"))
-            .select("doc_id", "i", F.col("t.tok_begin").alias("begin"),
-                    F.col("t.tok_end").alias("end")))
-    # gold: merge token 2i..2i+1 into one span (begin of even, end of odd)
-    even = toks.filter(F.col("i") % 2 == 0).select(
-        "doc_id", (F.col("i") / 2).cast("int").alias("g"),
-        F.col("begin").alias("g_begin"))
-    odd = toks.filter(F.col("i") % 2 == 1).select(
-        "doc_id", ((F.col("i") - 1) / 2).cast("int").alias("g"),
-        F.col("end").alias("g_end"))
-    gold = even.join(odd, ["doc_id", "g"])
-    pred = toks.filter(F.col("i") % 3 == 0)
-    weak = (pred.join(gold, ["doc_id"])
-            .filter((F.col("begin") < F.col("g_end"))
-                    & (F.col("end") > F.col("g_begin")))
-            .select("doc_id", "i").distinct())
-    return weak.groupBy("doc_id").agg(F.count("*").alias("n_weak"))
-
-
-def q_wd_metric(spark, sf_dir):
-    """V3 WindowDiff per 50-sentence document (same distributed per-doc
-    applyInPandas lane as pk_metric; SegmentationEvaluation.java:133-170
-    formula inside metrics.window_diff)."""
-    return (_segmentation_eval(spark, sf_dir)
-            .select("doc", "k", F.round("wd", 6).alias("wd")))
 
 
 # --- rows-only queries (non-SQL-expressible; pytest-gated semantics) ---
@@ -1178,13 +1205,6 @@ def q_simhash_near_dups(spark, sf_dir):
             .orderBy("id_a"))
 
 
-def q_detect_language(spark, sf_dir):
-    from texoo_spark.extract import detect_language_udf
-    docs = _load(spark, sf_dir, "documents")
-    return docs.select("doc_id",
-                       detect_language_udf(F.col("text")).alias("lang_pred"))
-
-
 def q_ivf_knn(spark, sf_dir):
     """IVF-bucketed approximate nearest neighbours (scale path for kNN):
     deterministic stride-seeded cells, float64 assignment, probe the 4
@@ -1220,25 +1240,6 @@ def q_bemd_segments(spark, sf_dir):
 
     return (emb.groupBy("label").applyInPandas(
         run, "label int, seg_idx long, sent_begin long, sent_end long"))
-
-
-def q_frame_samples(spark, sf_dir):
-    """Multimodal frame-sampling PLAN: (media_id, duration_ms) metadata
-    expands to one row per sampled frame timestamp WITHOUT touching
-    payload bytes — frame decode happens downstream only for these rows
-    (the never-decode-unsampled-frames rule). Media metadata derived from
-    documents (duration = 250ms/word; every 3rd doc is a video)."""
-    from texoo_spark.multimodal import frame_sample_plan
-    docs = _load(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 3 == 0, "video/mp4")
-        .otherwise("image/png").alias("mime"),
-        (F.size(F.split(F.col("text"), " ")) * F.lit(250)).cast("int")
-        .alias("duration_ms"))
-    return (frame_sample_plan(media, every_ms=1000)
-            .select("media_id",
-                    F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")))
 
 
 def q_passage_retrieval(spark, sf_dir):
@@ -1335,97 +1336,67 @@ def q_curated_turns(spark, sf_dir):
             .orderBy("conv_id", "turn_idx"))
 
 
-def q_knn_batch(spark, sf_dir):
-    """R6 batch kNN: 5 query vectors scored against the corpus in ONE
-    broadcast-matrix matmul per Arrow batch (float64), window top-5 per
-    query ranked on round-6 cosine with vec_id tie-break (cross-engine
-    reproducible rank membership)."""
-    import numpy as np
-    from texoo_spark.knn import brute_force_topk_batch
-    emb = _load(spark, sf_dir, "embeddings")
-    qrows = (emb.filter(F.col("vec_id") < 5)
-             .orderBy("vec_id").select("embedding").collect())
-    queries = np.array([np.asarray(r[0], dtype=np.float64) for r in qrows])
-    return (brute_force_topk_batch(emb, queries, k=5)
-            .select(F.col("query_id").cast("long").alias("query_id"),
-                    F.col("rank").cast("long").alias("rank"),
-                    F.col("vec_id").cast("long").alias("vec_id")))
-
-
-def q_fingerprints(spark, sf_dir):
-    from texoo_spark.udfs import fingerprint_udf
-    docs = _load(spark, sf_dir, "documents")
-    return docs.select("doc_id",
-                       fingerprint_udf(F.col("text")).alias("fingerprint"))
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry kept at <= 50 entries so the driver's 50-query sample
+    value-verifies EVERY entry each round. Overlapping probes from rounds
+    1-2 were merged (union/join of same-grain lanes) without dropping any
+    operator lane — STATUS.md maps each SURVEY §2 operator to its query."""
     return {
-        "extract_tokens": q_extract_tokens,
-        "extract_two_sentences": q_extract_two_sentences,
-        "extract_newline_discard": q_extract_newline_discard,
+        # extraction + text ops (both tokenizer lanes / both variants)
+        "extract_tokens": q_extract_tokens,            # rule + maxent lanes
+        "extract_newline_discard": q_extract_newline_discard,  # 2 variants
         "html_main_content": q_html_main_content,
         "gazetteer_matches": q_gazetteer_matches,
         "token_prf": q_token_prf,
+        "tokenized_roundtrip": q_tokenized_roundtrip,  # + char trigrams
+        "normalized_text": q_normalized_text,          # + minimal-lowercase
+        "conv_rebase": q_conv_rebase,
+        "conversation_text": q_conversation_text,
+        # relational / TPC-H-ish
         "pricing_summary": q_pricing_summary,
         "top_order_per_customer": q_top_order_per_customer,
         "nation_revenue": q_nation_revenue,
         "events_hourly": q_events_hourly,
         "running_user_totals": q_running_user_totals,
-        "dedup_prefix": q_dedup_prefix,
-        "pk_metric": q_pk_metric,
-        "retrieval_mrr": q_retrieval_mrr,
-        "knn_cosine": q_knn_cosine,
-        "quality_scores": q_quality_scores,
-        "conv_rebase": q_conv_rebase,
-        "newline_segments": q_newline_segments,
-        "max_overlap_token": q_max_overlap_token,
-        "media_features": q_media_features,
-        "ngram_jaccard_dups": q_ngram_jaccard,
-        "bm25_scores": q_bm25_scores,
-        "bm25_topk": q_bm25_topk,
         "train_test_split": q_train_test_split,
+        # spans / annotators
+        "tagged_mentions": q_tagged_mentions,          # + entity linking
+        "tagged_mentions_trained": q_tagged_mentions_trained,
+        "bio_decode": q_bio_decode,
+        "span_matches": q_span_matches,                # STRONG + WEAK
+        "tokens_in_range": q_tokens_in_range,          # + span_zip
+        "max_overlap_token": q_max_overlap_token,
+        "newline_segments": q_newline_segments,
+        "max_segments": q_max_segments,
+        # readers / serialization
+        "segmentation_readers": q_segmentation_readers,  # wiki727/choi/mseg
+        "wiki_readers": q_wiki_readers,        # wikisection + wikicities
+        "mention_readers": q_mention_readers,  # conll + wned
+        "serializer_roundtrip": q_serializer_roundtrip,  # + raw-text dir
         "pdf_layout": q_pdf_layout,
-        "conversation_text": q_conversation_text,
-        "tagged_mentions": q_tagged_mentions,
-        "tokens_in_range": q_tokens_in_range,
-        "strong_matches": q_strong_matches,
-        "wd_metric": q_wd_metric,
-        "weak_matches": q_weak_matches,
-        "wiki727_sections": q_wiki727_sections,
-        "conll_mentions": q_conll_mentions,
-        "wikisection_gold": q_wikisection_gold,
-        "choi_segments": q_choi_segments,
-        "wned_mentions": q_wned_mentions,
-        "multiseg_sections": q_multiseg_sections,
-        "wikicities_docs": q_wikicities_docs,
-        "tokenized_roundtrip": q_tokenized_roundtrip,
-        "minimal_lowercase_keys": q_minimal_lowercase_keys,
+        # encoders / metrics
         "bow_vocab": q_bow_vocab,
         "classification_prf": q_classification_prf,
-        "max_segments": q_max_segments,
-        "normalized_text": q_normalized_text,
-        "serializer_roundtrip": q_serializer_roundtrip,
-        "linked_mentions": q_linked_mentions,
-        "raw_text_docs": q_raw_text_docs,
-        "maxent_tokens": q_maxent_tokens,
-        "bio_decode": q_bio_decode,
-        "char_trigrams": q_char_trigrams,
-        "span_zip": q_span_zip,
-        "knn_batch": q_knn_batch,
-        "curated_turns": q_curated_turns,
-        "tagged_mentions_trained": q_tagged_mentions_trained,
-        "sentence_embeddings": q_sentence_embeddings,
-        "contamination": q_contamination,
-        "passage_retrieval": q_passage_retrieval,
-        "frame_samples": q_frame_samples,
-        "unigram_surprisal": q_unigram_surprisal,
+        "segmentation_metrics": q_segmentation_metrics,  # Pk + WindowDiff
+        "retrieval_mrr": q_retrieval_mrr,
+        # dedup / curation
+        "dedup_prefix": q_dedup_prefix,
+        "quality_scores": q_quality_scores,  # + fingerprint + language id
+        "ngram_jaccard_dups": q_ngram_jaccard,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
-        "detect_language": q_detect_language,
-        "ivf_knn": q_ivf_knn,
-        "fingerprints": q_fingerprints,
         "embedding_near_dups": q_embedding_near_dups,
+        "contamination": q_contamination,
+        "unigram_surprisal": q_unigram_surprisal,
+        "curated_turns": q_curated_turns,
+        # retrieval / ANN
+        "knn_cosine": q_knn_cosine,                    # single + batch lanes
+        "ivf_knn": q_ivf_knn,
+        "bm25_topk": q_bm25_topk,                      # scores + ranks
+        "passage_retrieval": q_passage_retrieval,
+        "sentence_embeddings": q_sentence_embeddings,
+        # multimodal
+        "media_features": q_media_features,            # + frame sampling
         # rows-only (genuinely non-SQL-expressible: PCA + gaussian smoothing)
         "bemd_segments": q_bemd_segments,
     }
@@ -1614,6 +1585,40 @@ def _detect_language_oracle() -> str:
         " ELSE 'es' END AS lang_pred FROM s")
 
 
+def _fingerprint_oracle() -> str:
+    """textquality windowed-min-FNV document fingerprint in SQL (8-word
+    windows, min FNV-1a, signed 64-bit view)."""
+    return (
+        "WITH w AS (SELECT doc_id, list_filter(string_split_regex("
+        r"lower(text), '\s+'), x -> x <> '') AS ws FROM documents),"
+        " f AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN 0::HUGEINT"
+        " ELSE list_min(list_transform(list_transform("
+        " range(0, greatest(len(ws) - 8, 0) + 1),"
+        " wi -> array_to_string(ws[wi + 1 : wi + least(8, len(ws))],"
+        " ' ')), s2 -> " + _SQL_FNV.format(s="s2") + ")) END AS h"
+        " FROM w)"
+        " SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808"
+        " THEN h - 18446744073709551616 ELSE h END AS BIGINT)"
+        " AS fingerprint FROM f")
+
+
+def _quality_profile_oracle(stop: str) -> str:
+    """quality_scores oracle: JVM-side quality ratios + document
+    fingerprint + language id joined into the one-scan document profile
+    (the fingerprint and langid statements are reused as subqueries)."""
+    return (
+        f"SELECT d.doc_id,"
+        f" CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,"
+        f" ROUND((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))"
+        f" / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,"
+        f" ROUND(len(list_filter(string_split(text, ' '),"
+        f" w -> w IN ({stop}))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)"
+        f" AS stopword_ratio, fp.fingerprint, lg.lang_pred"
+        f" FROM documents d"
+        f" JOIN ({_fingerprint_oracle()}) fp ON fp.doc_id = d.doc_id"
+        f" JOIN ({_detect_language_oracle()}) lg ON lg.doc_id = d.doc_id")
+
+
 # Shared CTE skeleton for the per-document segmentation metrics: run-ids
 # (positions_array equivalents) for the GOLD label sequence and the
 # 1-shifted hypothesis, per-doc k = max(floor(mean_gold_seg_len/2 + 0.5), 2)
@@ -1665,13 +1670,20 @@ def oracle_sql() -> dict[str, str]:
     stop = ", ".join(f"'{s}'" for s in STOPLIST)
     return {
         "extract_tokens": (
-            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)"
+            "SELECT 'rule' AS lane, doc_id,"
+            " CAST(len(string_split(text, ' ')) AS BIGINT)"
+            " AS n_tokens FROM documents"
+            " UNION ALL"
+            " SELECT 'maxent' AS lane, doc_id,"
+            " CAST(len(string_split(text, ' ')) AS BIGINT)"
             " AS n_tokens FROM documents"),
-        "extract_two_sentences": (
-            "SELECT doc_id, text || ' end. Stop now.' AS extracted_text,"
-            " CAST(2 AS BIGINT) AS n_sentences FROM documents"),
         "extract_newline_discard": (
-            "SELECT doc_id, 'Header line ' || text AS extracted_text,"
+            "SELECT 'two_sent' AS variant, doc_id,"
+            " text || ' end. Stop now.' AS extracted_text,"
+            " CAST(2 AS BIGINT) AS n_sentences FROM documents"
+            " UNION ALL"
+            " SELECT 'nl_discard' AS variant, doc_id,"
+            " 'Header line ' || text AS extracted_text,"
             " CAST(2 AS BIGINT) AS n_sentences FROM documents"),
         "html_main_content": (
             "SELECT doc_id, text AS main_text FROM documents"
@@ -1728,9 +1740,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT array_to_string(string_split(text, ' ')[1:3], ' ')"
             " AS prefix_key, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id"
             " FROM documents GROUP BY 1 HAVING COUNT(*) > 1"),
-        "pk_metric": _SEG_EVAL_SQL + (
+        "segmentation_metrics": _SEG_EVAL_SQL + (
             " SELECT CAST(doc AS VARCHAR) AS doc, k,"
-            " ROUND(pkv, 6) AS pk FROM p"),
+            " ROUND(pkv, 6) AS pk, ROUND(wdv, 6) AS wd FROM p"),
         "retrieval_mrr": (
             "WITH rk AS (SELECT label AS qid, vec_id,"
             " ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn,"
@@ -1788,14 +1800,38 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, best_begin, CAST(overlap AS BIGINT) AS overlap"
             " FROM ov WHERE rn = 1"),
         "knn_cosine": (
-            "SELECT vec_id, ROUND(list_cosine_similarity("
+            "WITH single AS (SELECT vec_id, ROUND(list_cosine_similarity("
             " CAST(embedding AS DOUBLE[]),"
             " (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings"
             " WHERE vec_id = 0)), 6) AS cosine"
-            " FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"),
+            " FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10),"
+            " sr AS (SELECT 'single' AS lane,"
+            " CAST(-1 AS BIGINT) AS query_id,"
+            " ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank,"
+            " vec_id, cosine FROM single),"
+            " q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])"
+            " AS qv FROM embeddings WHERE vec_id < 5),"
+            " s AS (SELECT qid, e.vec_id, ROUND(list_cosine_similarity("
+            " CAST(e.embedding AS DOUBLE[]), qv), 6) AS c"
+            " FROM embeddings e CROSS JOIN q),"
+            " r AS (SELECT qid, vec_id, c, ROW_NUMBER() OVER (PARTITION BY"
+            " qid ORDER BY c DESC, vec_id) AS rank FROM s)"
+            " SELECT lane, query_id, CAST(rank AS BIGINT) AS rank,"
+            " CAST(vec_id AS BIGINT) AS vec_id, cosine FROM sr"
+            " UNION ALL"
+            " SELECT 'batch' AS lane, CAST(qid AS BIGINT) AS query_id,"
+            " CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,"
+            " c AS cosine FROM r WHERE rank <= 5"),
         "media_features": (
-            "SELECT doc_id, sha256(text) AS sha256,"
-            " CAST(length(text) AS BIGINT) AS n_bytes FROM documents"),
+            "WITH feats AS (SELECT doc_id AS media_id, sha256(text) AS"
+            " sha256, CAST(length(text) AS BIGINT) AS n_bytes"
+            " FROM documents),"
+            " frames AS (SELECT doc_id AS media_id, CAST(unnest(range(0,"
+            " greatest(len(string_split(text, ' ')) * 250 - 1, 0) + 1,"
+            " 1000)) AS BIGINT) AS frame_ts_ms"
+            " FROM documents WHERE doc_id % 3 = 0)"
+            " SELECT media_id, frame_ts_ms, sha256, n_bytes"
+            " FROM frames JOIN feats USING (media_id)"),
         "ngram_jaccard_dups": (
             "WITH base AS ("
             " SELECT doc_id AS id, lower(text) AS text FROM documents"
@@ -1820,32 +1856,6 @@ def oracle_sql() -> dict[str, str]:
             " JOIN counts cb ON cb.id = id_b"
             " WHERE ROUND(shared / CAST(ca.n_grams + cb.n_grams - shared"
             "  AS DOUBLE), 6) >= 0.5"),
-        "bm25_scores": (
-            "WITH toks AS (SELECT doc_id, unnest(list_filter("
-            "  string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))"
-            "  AS term FROM documents),"
-            " postings AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks"
-            "  GROUP BY 1, 2),"
-            " dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df"
-            "  FROM postings GROUP BY 1),"
-            " doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),"
-            " stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl"
-            "  FROM doclen),"
-            " q AS (SELECT doc_id AS query_id, array_to_string("
-            "  string_split(text, ' ')[1:3], ' ') AS qtext FROM documents"
-            "  WHERE doc_id < 5),"
-            " qterms AS (SELECT query_id, unnest(list_distinct(list_filter("
-            "  string_split_regex(lower(qtext), '[^a-z0-9]+'),"
-            "  t -> t <> ''))) AS term FROM q)"
-            " SELECT query_id, p.doc_id, ROUND(SUM("
-            "  ln(1 + (s.n_docs - df + 0.5) / (df + 0.5))"
-            "  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / s.avgdl))"
-            " ), 3) AS score"
-            " FROM postings p JOIN qterms USING (term)"
-            " JOIN dfreq USING (term)"
-            " JOIN doclen dle ON dle.doc_id = p.doc_id"
-            " CROSS JOIN stats s"
-            " GROUP BY query_id, p.doc_id"),
         "bm25_topk": (
             "WITH toks AS (SELECT doc_id, unnest(list_filter("
             "  string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))"
@@ -1899,52 +1909,27 @@ def oracle_sql() -> dict[str, str]:
             " array_to_string(string_split(text, ' ')[9:12], ' ')"
             " AS layout_text FROM documents"
             " WHERE len(string_split(text, ' ')) >= 12"),
-        "maxent_tokens": (
-            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)"
-            " AS n_tokens FROM documents"),
-        "raw_text_docs": (
-            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars"
-            " FROM documents WHERE doc_id < 10"),
         "bio_decode": (
             "SELECT doc_id,"
             " CAST((len(string_split(text, ' ')) + 2) // 3 AS BIGINT)"
             " AS n_spans, TRUE AS bioes_valid FROM documents"),
-        "char_trigrams": (
-            "SELECT doc_id,"
-            " CAST(length(string_split(text, ' ')[1]) AS BIGINT)"
-            " AS n_trigrams FROM documents"),
-        "span_zip": (
-            "SELECT doc_id, CAST(0 AS BIGINT) AS s_begin,"
-            " CAST(length(text) // 2 AS BIGINT) AS s_end,"
-            " CAST(length(text) AS BIGINT) AS a_end FROM documents"
-            " UNION ALL"
-            " SELECT doc_id, CAST(length(text) // 2 AS BIGINT),"
-            " CAST(length(text) AS BIGINT),"
-            " CAST(length(text) AS BIGINT) FROM documents"),
         "normalized_text": (
             "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
             "text || '-' || CAST(doc_id AS VARCHAR),"
             " '[-_/]+', ' ', 'g'), '[0-9]+', '#', 'g'), '\\s+', '_', 'g')"
-            " AS norm_text FROM documents"),
+            " AS norm_text,"
+            " lower(string_split(text, ' ')[1]) || '#' AS norm_key"
+            " FROM documents"),
         "serializer_roundtrip": (
             "SELECT CAST(doc_id AS VARCHAR) || '#0' AS id,"
-            " CAST(length(text) AS BIGINT) AS end FROM documents"),
-        "linked_mentions": (
-            "SELECT doc_id, upper(string_split(text, ' ')[1]) AS entity_id"
-            " FROM documents"),
-        "wned_mentions": (
-            "SELECT doc_id, CAST(2 AS BIGINT) AS n_mentions,"
-            " string_split(text, ' ')[1] AS first_surface,"
-            " CAST(length(string_split(text, ' ')[1]) AS BIGINT)"
-            " AS first_length FROM documents"
-            " WHERE len(string_split(text, ' ')) >= 2"),
+            " CAST(length(text) AS BIGINT) AS end,"
+            " CASE WHEN doc_id < 10 THEN CAST(length(text) AS BIGINT)"
+            " END AS n_chars FROM documents"),
         "tokenized_roundtrip": (
             "SELECT doc_id, text AS recon,"
-            " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens"
-            " FROM documents"),
-        "minimal_lowercase_keys": (
-            "SELECT doc_id, lower(string_split(text, ' ')[1]) || '#'"
-            " AS norm_key FROM documents"),
+            " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,"
+            " CAST(length(string_split(text, ' ')[1]) AS BIGINT)"
+            " AS n_trigrams FROM documents"),
         "bow_vocab": (
             "WITH w AS (SELECT unnest(string_split(lower(text), ' '))"
             " AS word FROM documents)"
@@ -1974,37 +1959,36 @@ def oracle_sql() -> dict[str, str]:
             " ROUND(r, 6) AS recall,"
             " ROUND(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)"
             "  ELSE 0.0 END, 6) AS f1, tp + fn AS support FROM m"),
-        "wikisection_gold": (
-            "SELECT doc_id, CAST(2 AS BIGINT) AS n_sections,"
-            " 'Intro' AS first_heading,"
-            " CAST(length(text) AS BIGINT) AS last_end"
-            " FROM documents WHERE length(text) > 20"),
-        "choi_segments": (
-            "SELECT doc_id, CAST(3 AS BIGINT) AS n_segments,"
-            " array_to_string(string_split(text, ' ')"
-            " [11:len(string_split(text, ' '))], ' ') AS last_segment"
-            " FROM documents WHERE len(string_split(text, ' ')) >= 12"),
-        "wiki727_sections": (
-            "SELECT doc_id, CAST(3 AS BIGINT) AS n_sections,"
+        "segmentation_readers": (
+            "WITH base AS (SELECT doc_id,"
             " array_to_string(string_split(text, ' ')"
             " [11:len(string_split(text, ' '))], ' ') AS last_text"
-            " FROM documents WHERE len(string_split(text, ' ')) >= 12"),
-        "conll_mentions": (
-            "SELECT doc_id, CAST((len(string_split(text, ' ')) + 2) // 3"
-            " AS BIGINT) AS n_mentions FROM documents"),
-        "multiseg_sections": (
+            " FROM documents WHERE len(string_split(text, ' ')) >= 12)"
+            " SELECT 'wiki727' AS source, doc_id,"
+            " CAST(3 AS BIGINT) AS n_segments, last_text FROM base"
+            " UNION ALL SELECT 'choi' AS source, doc_id,"
+            " CAST(3 AS BIGINT) AS n_segments, last_text FROM base"
+            " UNION ALL SELECT 'multiseg' AS source, doc_id,"
+            " CAST(2 AS BIGINT) AS n_segments, last_text FROM base"),
+        "wiki_readers": (
             "SELECT doc_id, CAST(2 AS BIGINT) AS n_sections,"
-            " array_to_string(string_split(text, ' ')"
-            " [11:len(string_split(text, ' '))], ' ') AS last_sent"
-            " FROM documents WHERE len(string_split(text, ' ')) >= 12"),
-        "wikicities_docs": (
-            "SELECT doc_id, CAST(1 AS BIGINT) AS n_skip,"
-            " CAST(2 AS BIGINT) AS n_keep,"
+            " 'Intro' AS first_heading,"
+            " CAST(length(text) AS BIGINT) AS last_end,"
+            " CAST(1 AS BIGINT) AS n_skip, CAST(2 AS BIGINT) AS n_keep,"
             " array_to_string(string_split(text, ' ')[7:9], ' ') || ' . ' ||"
             " array_to_string(string_split(text, ' ')[10:12], ' ') || ' .'"
             " AS body_text"
-            " FROM documents WHERE len(string_split(text, ' ')) >= 12"),
-        "weak_matches": (
+            " FROM documents WHERE length(text) > 20"
+            " AND len(string_split(text, ' ')) >= 12"),
+        "mention_readers": (
+            "SELECT doc_id, CAST((len(string_split(text, ' ')) + 2) // 3"
+            " AS BIGINT) AS conll_mentions,"
+            " CAST(2 AS BIGINT) AS wned_mentions,"
+            " string_split(text, ' ')[1] AS first_surface,"
+            " CAST(length(string_split(text, ' ')[1]) AS BIGINT)"
+            " AS first_length FROM documents"
+            " WHERE len(string_split(text, ' ')) >= 2"),
+        "span_matches": (
             "WITH toks AS (SELECT doc_id,"
             " unnest(string_split(text, ' ')) AS tok,"
             " unnest(range(1, len(string_split(text, ' ')) + 1)) AS idx"
@@ -2013,6 +1997,9 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COALESCE(SUM(length(tok) + 1) OVER (PARTITION BY doc_id"
             " ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
             " 0) AS BIGINT) AS b, length(tok) AS l FROM toks),"
+            " strong AS (SELECT doc_id, CAST(SUM(CASE WHEN (idx - 1) % 6 = 0"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_strong"
+            " FROM pos GROUP BY doc_id),"
             " ev AS (SELECT doc_id, (idx + 1) // 2 AS g, b AS g_begin"
             "  FROM pos WHERE idx % 2 = 1),"
             " od AS (SELECT doc_id, idx // 2 AS g, b + l AS g_end"
@@ -2021,13 +2008,15 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN od USING (doc_id, g)),"
             " pred AS (SELECT doc_id, idx, b, l FROM pos"
             "  WHERE (idx - 1) % 3 = 0),"
-            " weak AS (SELECT DISTINCT p.doc_id, p.idx FROM pred p"
+            " wk AS (SELECT DISTINCT p.doc_id, p.idx FROM pred p"
             "  JOIN gold gd ON p.doc_id = gd.doc_id"
-            "  AND p.b < gd.g_end AND p.b + p.l > gd.g_begin)"
-            " SELECT doc_id, COUNT(*) AS n_weak FROM weak GROUP BY doc_id"),
-        "wd_metric": _SEG_EVAL_SQL + (
-            " SELECT CAST(doc AS VARCHAR) AS doc, k,"
-            " ROUND(wdv, 6) AS wd FROM p"),
+            "  AND p.b < gd.g_end AND p.b + p.l > gd.g_begin),"
+            " weak AS (SELECT doc_id, COUNT(*) AS n_weak FROM wk"
+            " GROUP BY doc_id)"
+            " SELECT COALESCE(s.doc_id, w.doc_id) AS doc_id,"
+            " COALESCE(n_strong, 0) AS n_strong,"
+            " COALESCE(n_weak, 0) AS n_weak"
+            " FROM strong s FULL OUTER JOIN weak w ON s.doc_id = w.doc_id"),
         "tokens_in_range": (
             "WITH toks AS (SELECT doc_id,"
             " unnest(string_split(text, ' ')) AS tok,"
@@ -2036,22 +2025,24 @@ def oracle_sql() -> dict[str, str]:
             " pos AS (SELECT doc_id, idx,"
             " CAST(COALESCE(SUM(length(tok) + 1) OVER (PARTITION BY doc_id"
             " ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
-            " 0) AS BIGINT) AS b, length(tok) AS l FROM toks)"
-            " SELECT doc_id,"
+            " 0) AS BIGINT) AS b, length(tok) AS l FROM toks),"
+            " rng AS (SELECT doc_id,"
             " CAST(SUM(CASE WHEN b >= 10 AND b + l <= 40 THEN 1 ELSE 0 END)"
             " AS BIGINT) AS n_enclosed,"
             " CAST(SUM(CASE WHEN (b <= 10 AND b + l > 10)"
             " OR (b >= 10 AND b + l <= 40)"
             " OR (b < 40 AND b + l >= 40) THEN 1 ELSE 0 END)"
             " AS BIGINT) AS n_expand"
-            " FROM pos GROUP BY doc_id"),
-        "strong_matches": (
-            "WITH toks AS (SELECT doc_id,"
-            " unnest(range(1, len(string_split(text, ' ')) + 1)) AS idx"
-            " FROM documents)"
-            " SELECT doc_id, CAST(SUM(CASE WHEN (idx - 1) % 6 = 0"
-            " THEN 1 ELSE 0 END) AS BIGINT) AS n_strong"
-            " FROM toks GROUP BY doc_id"),
+            " FROM pos GROUP BY doc_id),"
+            " zp AS (SELECT doc_id, CAST(0 AS BIGINT) AS s_begin,"
+            " CAST(length(text) // 2 AS BIGINT) AS s_end,"
+            " CAST(length(text) AS BIGINT) AS a_end FROM documents"
+            " UNION ALL"
+            " SELECT doc_id, CAST(length(text) // 2 AS BIGINT),"
+            " CAST(length(text) AS BIGINT),"
+            " CAST(length(text) AS BIGINT) FROM documents)"
+            " SELECT zp.doc_id, s_begin, s_end, a_end, n_enclosed, n_expand"
+            " FROM zp JOIN rng ON rng.doc_id = zp.doc_id"),
         "conversation_text": (
             "SELECT doc_id % 50 AS conv_id,"
             " string_agg(text, chr(10) ORDER BY doc_id // 50) AS conv_text,"
@@ -2059,16 +2050,10 @@ def oracle_sql() -> dict[str, str]:
         "tagged_mentions": (
             "SELECT doc_id, CAST(len(list_filter("
             " string_split(text, ' ')[1:3],"
-            " w -> regexp_matches(w, '^[a-z]'))) AS BIGINT) AS n_mentions"
+            " w -> regexp_matches(w, '^[a-z]'))) AS BIGINT) AS n_mentions,"
+            " upper(string_split(text, ' ')[1]) AS entity_id"
             " FROM documents"),
-        "quality_scores": (
-            f"SELECT doc_id,"
-            f" CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,"
-            f" ROUND((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))"
-            f" / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,"
-            f" ROUND(len(list_filter(string_split(text, ' '),"
-            f" w -> w IN ({stop}))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)"
-            f" AS stopword_ratio FROM documents"),
+        "quality_scores": _quality_profile_oracle(stop),
         "max_segments": (
             "WITH h AS (SELECT label, vec_id, list_position("
             " list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)),"
@@ -2080,17 +2065,6 @@ def oracle_sql() -> dict[str, str]:
             " CAST(1 + SUM(CASE WHEN ph IS NOT NULL AND hot <> ph"
             " THEN 1 ELSE 0 END) AS BIGINT) AS n_segments"
             " FROM d GROUP BY label"),
-        "knn_batch": (
-            "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])"
-            " AS qv FROM embeddings WHERE vec_id < 5),"
-            " s AS (SELECT qid, e.vec_id, ROUND(list_cosine_similarity("
-            " CAST(e.embedding AS DOUBLE[]), qv), 6) AS c"
-            " FROM embeddings e CROSS JOIN q),"
-            " r AS (SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid"
-            " ORDER BY c DESC, vec_id) AS rank FROM s)"
-            " SELECT CAST(qid AS BIGINT) AS query_id,"
-            " CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id"
-            " FROM r WHERE rank <= 5"),
         "ivf_knn": (
             "WITH st AS (SELECT GREATEST(COUNT(*) // 8, 1) AS stride"
             " FROM embeddings),"
@@ -2114,17 +2088,11 @@ def oracle_sql() -> dict[str, str]:
             " SELECT vec_id, ROUND(list_cosine_similarity(v, q), 6)"
             " AS cosine FROM cells JOIN probe USING (cell) CROSS JOIN qv"
             " ORDER BY cosine DESC, vec_id LIMIT 10"),
-        "detect_language": _detect_language_oracle(),
         # the trained-tagger oracle needs the reference CoNLL fixture at
         # build time (deterministic training, cached per process); on a
         # machine without /root/reference the entry degrades to rows-only
         # instead of breaking the whole oracle dict
         **_maybe_tagged_trained_oracle(),
-        "frame_samples": (
-            "SELECT doc_id AS media_id, CAST(unnest(range(0,"
-            " greatest(len(string_split(text, ' ')) * 250 - 1, 0) + 1,"
-            " 1000)) AS BIGINT) AS frame_ts_ms"
-            " FROM documents WHERE doc_id % 3 = 0"),
         "passage_retrieval": (
             "WITH pg AS (SELECT doc_id, flatten(list_transform("
             " string_split(text, ' ')[1:5], wv -> list_transform("
@@ -2205,18 +2173,6 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, ROUND(cnts[1] / nrm, 6) AS c0,"
             " ROUND(cnts[2] / nrm, 6) AS c1, ROUND(cnts[3] / nrm, 6) AS c2,"
             " ROUND(cnts[4] / nrm, 6) AS c3 FROM n"),
-        "fingerprints": (
-            "WITH w AS (SELECT doc_id, list_filter(string_split_regex("
-            r"lower(text), '\s+'), x -> x <> '') AS ws FROM documents),"
-            " f AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN 0::HUGEINT"
-            " ELSE list_min(list_transform(list_transform("
-            " range(0, greatest(len(ws) - 8, 0) + 1),"
-            " wi -> array_to_string(ws[wi + 1 : wi + least(8, len(ws))],"
-            " ' ')), s2 -> " + _SQL_FNV.format(s="s2") + ")) END AS h"
-            " FROM w)"
-            " SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808"
-            " THEN h - 18446744073709551616 ELSE h END AS BIGINT)"
-            " AS fingerprint FROM f"),
         "simhash_near_dups": (
             "WITH base AS (SELECT doc_id, list_filter(string_split_regex("
             r"lower(text), '\s+'), x -> x <> '')"

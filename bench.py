@@ -143,7 +143,7 @@ def main():
                   "minhash_near_dups", "quality_scores",
                   # round-2 lanes
                   "contamination", "passage_retrieval", "unigram_surprisal",
-                  "tagged_mentions_trained", "pk_metric"]
+                  "tagged_mentions_trained", "segmentation_metrics"]
     for name in headliners:
         fn = qfns[name]
         t0 = time.perf_counter()

@@ -40,9 +40,12 @@ def test_nation_revenue_broadcasts_small_dim(spark):
 def test_knn_is_take_ordered(spark):
     import __spark_entry__ as e
     plan = plan_of(e.q_knn_cosine(spark, SF))
-    # top-k must not globally sort: TakeOrderedAndProject merges per-partition
+    # single lane: top-k must not globally sort — TakeOrderedAndProject
+    # merges per-partition heaps; its cosine stays JVM-side
     assert "TakeOrderedAndProject" in plan
-    assert "ArrowEvalPython" not in plan  # cosine stays JVM-side
+    # batch lane is the ONLY Python hop in the union (one ArrowEvalPython
+    # for the broadcast-matrix matmul)
+    assert plan.count("ArrowEvalPython") == 1
 
 
 def test_extraction_is_single_python_hop(spark):
@@ -70,7 +73,7 @@ def test_gazetteer_matches_wholestage_codegen(spark):
 
 def test_bm25_broadcasts_query_side(spark):
     import __spark_entry__ as e
-    plan = plan_of(e.q_bm25_scores(spark, SF))
+    plan = plan_of(e.q_bm25_topk(spark, SF))
     # query terms + df table broadcast; postings never a broadcast side
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2  # partial aggs survive
@@ -86,12 +89,12 @@ def test_lean_extraction_single_python_hop(spark):
     assert "tok_text" not in plan  # lean schema never materializes surfaces
 
 
-def test_pk_metric_partitions_on_doc_not_single_partition(spark):
+def test_segmentation_metrics_partition_on_doc_not_single(spark):
     """Round 2: the segmentation metrics must run the per-doc
     applyInPandas lane — hash exchange on doc, never a single-partition
     global window (the round-1 anti-pattern)."""
     import __spark_entry__ as e
-    plan = plan_of(e.q_pk_metric(spark, SF))
+    plan = plan_of(e.q_segmentation_metrics(spark, SF))
     assert "SinglePartition" not in plan
     assert "FlatMapGroupsInPandas" in plan
     assert "hashpartitioning(doc" in plan

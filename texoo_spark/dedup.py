@@ -497,9 +497,12 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
         codes = (per_band * weights).sum(axis=2)          # [B x bands]
         return pd.Series([row.tolist() for row in codes], dtype="object")
 
-    banded = (df.select(F.col(id_col).alias("id"),
-                        srp_udf(F.col(vec_col)).alias("sig"))
-              .select("id", F.posexplode("sig").alias("band", "bucket")))
+    # posexplode DIRECTLY on the UDF call — a separate projection step
+    # makes Catalyst stack two identical ArrowEvalPython operators (the
+    # projection hashes every vector twice; verified on the physical plan)
+    banded = df.select(F.col(id_col).alias("id"),
+                       F.posexplode(srp_udf(F.col(vec_col)))
+                       .alias("band", "bucket"))
     banded = _persist_tracked(banded)
     capped = _cap_buckets(banded, max_bucket_size, "embedding_near_dups")
     left, right = capped.alias("l"), capped.alias("r")

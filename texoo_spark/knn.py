@@ -79,8 +79,12 @@ def brute_force_topk_batch(df: DataFrame, queries: np.ndarray, k: int = 10,
                         for qi, s in enumerate(row)])
         return pd.Series(out, dtype="object")
 
-    exploded = (df.select(id_col, scores_udf(F.col(vec_col)).alias("s"))
-                .select(id_col, F.explode("s").alias("s"))
+    # explode applied DIRECTLY to the UDF call: with a separate projection
+    # step Catalyst stacks two identical ArrowEvalPython operators (the UDF
+    # runs twice per row — verified on the physical plan); this form plans
+    # exactly one Python eval under the Generate
+    exploded = (df.select(id_col,
+                          F.explode(scores_udf(F.col(vec_col))).alias("s"))
                 .select(id_col, F.col("s.query_id").alias("query_id"),
                         F.col("s.cosine").alias("cosine")))
     rank_key = (F.round(F.col("cosine"), round_decimals)
