@@ -1554,35 +1554,59 @@ def _maybe_tagged_trained_oracle() -> dict[str, str]:
 
 
 def _detect_language_oracle() -> str:
-    """langid.detect_language replicated in SQL: function-word hit rate per
-    language over [a-zà-ÿäöüß]+ word runs, first-language-wins ties in the
-    en/de/fr/es order, 0.05 evidence floor, CJK script short-circuit."""
-    from texoo_spark.langid import _STOPWORDS
+    """langid.detect_language replicated in SQL: the n-gram-profile
+    detector's INTEGER milli-nat trigram weights inlined as one MAP per
+    language, word segmentation over the shared explicit letter class,
+    padded '#word#' trigram windows, per-language floor for unseen
+    trigrams, script short-circuits (kana -> ja before hangul -> ko
+    before han -> zh), fixed-order argmax, and the exact integer
+    evidence-floor comparison (best < FLOOR_MILLI * n_trigrams)."""
+    from texoo_spark.langid import (EVIDENCE_FLOOR_MILLI, FLOORS, LANGS,
+                                    MAX_WORDS, PROFILES, WORD_RE)
 
-    def inlist(lang: str) -> str:
-        return ", ".join("'%s'" % w for w in sorted(_STOPWORDS[lang]))
-
-    def score(lang: str) -> str:
-        return (f"CASE WHEN len(ws) = 0 THEN 0.0 ELSE"
-                f" len(list_filter(ws, x -> x IN ({inlist(lang)})))"
-                f" / CAST(len(ws) AS DOUBLE) END")
-
+    prof_rows = ", ".join(
+        "('%s', '%s', %d)" % (lang, t.replace("'", "''"), v)
+        for lang in LANGS for t, v in PROFILES[lang].items())
+    floor_rows = ", ".join(
+        "('%s', %d)" % (lang, FLOORS[lang]) for lang in LANGS)
+    pivots = ", ".join(
+        f"MAX(CASE WHEN lang = '{lang}' THEN s END) AS s_{lang}"
+        for lang in LANGS)
+    # fixed-order argmax: lang i wins if >= every later language's score
+    # (earlier languages already failed their own >= chain)
+    argmax = ""
+    for i, lang in enumerate(LANGS[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in LANGS[i + 1:])
+        argmax += f" WHEN {conds} THEN '{lang}'"
+    argmax += f" ELSE '{LANGS[-1]}'"
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in LANGS) + ")"
     return (
         "WITH w AS (SELECT doc_id, text, list_filter(string_split_regex("
-        "lower(text), '[^a-zà-ÿäöüß]+'), x -> x <> '') AS ws"
-        " FROM documents),"
-        f" s AS (SELECT doc_id, text, len(ws) AS n, {score('en')} AS s_en,"
-        f" {score('de')} AS s_de, {score('fr')} AS s_fr,"
-        f" {score('es')} AS s_es FROM w)"
-        " SELECT doc_id, CASE"
+        f"lower(text), '[^{WORD_RE[1:-2]}]+'), x -> x <> '')[1:{MAX_WORDS}]"
+        " AS ws FROM documents),"
+        " g AS (SELECT doc_id, text, flatten(list_transform(ws, wv ->"
+        " list_transform(range(1, length('#' || wv || '#') - 1),"
+        " gi -> ('#' || wv || '#')[gi : gi + 2]))) AS tris FROM w),"
+        " nn AS (SELECT doc_id, text, len(tris) AS n FROM g),"
+        " t AS (SELECT doc_id, unnest(tris) AS tg FROM g),"
+        # profile weights as a relation (hash join beats a map literal
+        # that DuckDB would rebuild inside every lambda evaluation)
+        f" prof(lang, tg, wt) AS (SELECT * FROM (VALUES {prof_rows})),"
+        f" fl(lang, fw) AS (SELECT * FROM (VALUES {floor_rows})),"
+        " x AS (SELECT doc_id, f.lang, SUM(COALESCE(wt, fw)) AS s"
+        " FROM t CROSS JOIN fl f"
+        " LEFT JOIN prof p ON p.lang = f.lang AND p.tg = t.tg"
+        " GROUP BY doc_id, f.lang),"
+        f" piv AS (SELECT doc_id, {pivots} FROM x GROUP BY doc_id)"
+        " SELECT nn.doc_id, CASE"
         " WHEN text IS NULL OR text = '' THEN ''"
+        " WHEN regexp_matches(text, '[ぁ-ゟ゠-ヿ]') THEN 'ja'"
+        " WHEN regexp_matches(text, '[가-힣ᄀ-ᇿ]') THEN 'ko'"
         " WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'"
         " WHEN n = 0 THEN ''"
-        " WHEN GREATEST(s_en, s_de, s_fr, s_es) < 0.05 THEN ''"
-        " WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'"
-        " WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'"
-        " WHEN s_fr >= s_es THEN 'fr'"
-        " ELSE 'es' END AS lang_pred FROM s")
+        f" WHEN {best} < {EVIDENCE_FLOOR_MILLI} * n THEN ''"
+        f"{argmax} END AS lang_pred"
+        " FROM nn LEFT JOIN piv ON piv.doc_id = nn.doc_id")
 
 
 def _fingerprint_oracle() -> str:

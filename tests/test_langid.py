@@ -1,0 +1,104 @@
+"""T6 n-gram-profile language identification: goldens (13 languages,
+short texts, unknown handling) + exact Python<->DuckDB twin parity on
+multilingual/adversarial strings the bundled ASCII test tables never
+exercise (the driver's oracle gate only sees lowercase-ASCII documents)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from texoo_spark.langid import (EVIDENCE_FLOOR_MILLI, FLOORS, LANGS,
+                                PROFILES, detect_language, text_trigrams)
+
+GOLDENS = [
+    ("The quick brown fox jumps over the lazy dog and the cat", "en"),
+    ("Der Hund ist ein Tier und die Katze ist auch ein Tier", "de"),
+    ("Le chien est un animal et le chat est aussi un animal", "fr"),
+    ("El perro es un animal y el gato es también un animal", "es"),
+    ("Il cane è un animale e il gatto è anche un animale", "it"),
+    ("O cachorro é um animal e o gato também é um animal", "pt"),
+    ("De hond is een dier en de kat is ook een dier", "nl"),
+    ("Hunden är ett djur och katten är också ett djur", "sv"),
+    ("Pies jest zwierzęciem a kot też jest zwierzęciem", "pl"),
+    ("Köpek bir hayvandır ve kedi de bir hayvandır", "tr"),
+    ("你好世界这是中文", "zh"),
+    ("これは日本語のテキストです", "ja"),
+    ("안녕하세요 한국어 텍스트입니다", "ko"),
+]
+
+SHORT = [
+    ("hello world", "en"),
+    ("guten tag", "de"),
+    ("bonjour", "fr"),
+    ("hola amigo", "es"),
+    ("ciao come stai", "it"),
+    ("obrigado meu amigo", "pt"),
+    ("goedemorgen", "nl"),
+    ("tack så mycket", "sv"),
+    ("dzień dobry", "pl"),
+    ("merhaba nasılsın", "tr"),
+]
+
+UNKNOWN = ["", "12345 67890 @@@", "xyzzy qwerty", "asdkj qpwoe zmxnc"]
+
+
+@pytest.mark.parametrize("text,lang", GOLDENS)
+def test_goldens(text, lang):
+    assert detect_language(text) == lang
+
+
+@pytest.mark.parametrize("text,lang", SHORT)
+def test_short_texts(text, lang):
+    assert detect_language(text) == lang
+
+
+@pytest.mark.parametrize("text", UNKNOWN)
+def test_unknown(text):
+    assert detect_language(text) == ""
+
+
+def test_mixed_script_prefers_kana_then_hangul_then_han():
+    # kana present -> ja even with Han characters (Japanese text mixes both)
+    assert detect_language("日本語のテキストです") == "ja"
+    assert detect_language("한국어 텍스트 中文") == "ko"
+    assert detect_language("中文文本") == "zh"
+
+
+def test_profiles_are_deterministic_integers():
+    assert list(PROFILES) == LANGS
+    for lang in LANGS:
+        assert all(isinstance(v, int) and v < 0
+                   for v in PROFILES[lang].values())
+        assert isinstance(FLOORS[lang], int)
+        # floor must be at or below every seen-trigram weight
+        assert FLOORS[lang] <= min(PROFILES[lang].values())
+    assert EVIDENCE_FLOOR_MILLI < 0
+
+
+def test_trigram_extraction_caps_words():
+    long_text = "word " * 1000
+    assert len(text_trigrams(long_text)) == 200 * 4  # '#word#' -> 4 windows
+
+
+def test_duckdb_twin_parity_multilingual():
+    """The quality_scores oracle's language branch must agree with
+    detect_language on text shapes the bundled tables never contain:
+    diacritics, scripts, multi-space/tab runs, apostrophes, mixed case,
+    digits inside words."""
+    import __spark_entry__ as E
+    texts = ([t for t, _ in GOLDENS] + [t for t, _ in SHORT] + UNKNOWN + [
+        "L'été   dernier\tnous  étions à  Paris",       # fr, messy spacing
+        "die straße über die brücke",                    # de, ß
+        "o coração do verão",                            # pt diacritics
+        "İstanbul'da güzel bir gün",                     # tr dotted capital
+        "abc123def mixed tokens 42",                     # digits split words
+        "HELLO WORLD THIS IS LOUD ENGLISH TEXT HERE",    # all caps
+        "a b c d e f g h i j",                           # 1-letter words
+    ])
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = E._detect_language_oracle()
+    got = dict(con.execute(sql).fetchall())
+    for i, t in enumerate(texts):
+        assert got[i] == detect_language(t), (t, got[i], detect_language(t))

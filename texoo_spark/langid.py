@@ -1,57 +1,319 @@
-"""Deterministic language identification (T6).
+"""Deterministic n-gram-profile language identification (T6).
 
-The reference delegates to an n-gram profile detector
-(ref: texoo-core/.../preprocess/DocumentFactory.java:269-276, optimaize).
-We use a deterministic function-word scorer over the languages the engine
-ships models for (en/de) plus common neighbors — adequate for routing
-turns to per-language processing (GenericMentionAnnotator-style dispatch,
-ref: texoo-entity-recognition/.../ner/GenericMentionAnnotator.java:64-78).
-Returns "" when unknown, like the reference.
+The reference delegates language detection to an n-gram profile detector
+(ref: texoo-core/.../preprocess/DocumentFactory.java:269-276, optimaize
+language-detector). This module implements the same published technique
+(Cavnar & Trenkle 1994 character-n-gram profiles, optimaize-style
+log-probability scoring) from scratch:
+
+- per-language character-TRIGRAM profiles built at import time from the
+  deterministic seed corpora below (authored common text, ~250 words per
+  language; the repo stays hermetic — no downloaded models);
+- a text is scored per language by summing INTEGER milli-nat log
+  probabilities of its word-padded trigrams ('#word#' windows), missing
+  trigrams costing a per-language floor penalty. Integer weights make the
+  score an exact integer in every engine (the DuckDB oracle replays the
+  same maps — float summation order can never flip an argmax);
+- script short-circuits for zh/ja/ko (Han / Kana / Hangul ranges), like
+  the reference's detector;
+- "" (unknown) below an average-log-probability evidence floor, matching
+  the reference's "unknown -> empty string" contract.
+
+Languages: en de fr es it pt nl sv pl tr (+ zh/ja/ko by script).
 """
 
 from __future__ import annotations
 
+import math
 import re
 
-_WORD = re.compile(r"[a-zà-ÿäöüß]+")
+# explicit letter class shared VERBATIM with the SQL oracle twin — both
+# engines must segment words identically (a broad \w would drag in
+# engine-specific unicode tables)
+_LETTERS = ("a-zàáâãäåæçèéêëìíîïñòóôõöøùúûüýÿ"
+            "āăąćčďđēėęěğıłńňőœřśşšťūůűźżž")
+WORD_RE = r"[" + _LETTERS + r"]+"
+_WORD = re.compile(WORD_RE)
 
-_STOPWORDS = {
-    "en": {"the", "of", "and", "to", "in", "a", "is", "that", "it", "was",
-           "for", "on", "are", "as", "with", "his", "they", "at", "be",
-           "this", "have", "from", "or", "had", "by", "but", "not", "what",
-           "were", "when", "can", "said", "there", "an", "which", "their"},
-    "de": {"der", "die", "das", "und", "ist", "ich", "nicht", "sie", "zu",
-           "den", "mit", "von", "ein", "eine", "für", "auf", "des", "im",
-           "dem", "sich", "auch", "als", "werden", "aus", "bei", "nach",
-           "wird", "einer", "wurde", "oder", "über", "einen", "dass", "war"},
-    "fr": {"le", "la", "les", "de", "des", "et", "est", "en", "un", "une",
-           "du", "dans", "que", "qui", "pour", "sur", "par", "avec", "au",
-           "plus", "pas", "ont", "été", "sont", "aux", "ses", "mais"},
-    "es": {"el", "la", "los", "las", "de", "y", "es", "en", "un", "una",
-           "del", "que", "por", "con", "para", "su", "se", "al", "como",
-           "más", "fue", "son", "entre", "está"},
-    "zh": set(),  # handled by script detection below
+_KANA = re.compile(r"[ぁ-ゟ゠-ヿ]")       # hiragana + katakana
+_HANGUL = re.compile(r"[가-힣ᄀ-ᇿ]")
+_HAN = re.compile(r"[一-鿿]")
+
+# Seed corpora: deterministic, authored common prose per language
+# (everyday-register sentences; enough mass for stable trigram profiles).
+SEED_TEXT = {
+    "en": ("the quick brown fox jumps over the lazy dog and runs through "
+           "the green fields every morning before the sun rises over the "
+           "hills where children play with their friends and families "
+           "gather for breakfast while the birds sing in the old trees "
+           "this is a story about people who live in a small town near "
+           "the river and they have always known that the water brings "
+           "both life and change to everyone who stays there during the "
+           "long winter months when snow covers the ground and the days "
+           "grow short but the nights are full of stars"
+           " hello good morning thank you very much please and welcome m"
+           "y friend how are you today i am fine we will meet again tomo"
+           "rrow one two three four five six seven eight nine ten what i"
+           "s your name where do you come from i would like some bread a"
+           "nd water the weather is cold today but yesterday it was warm"
+           " my house has many rooms and a large garden we eat dinner to"
+           "gether every evening and talk about work school books music "
+           "and everything that happened during the week because time go"
+           "es by so quickly when you are happy with the people you love"),
+    "de": ("der schnelle braune fuchs springt über den faulen hund und "
+           "läuft jeden morgen durch die grünen felder bevor die sonne "
+           "über den hügeln aufgeht wo die kinder mit ihren freunden "
+           "spielen und die familien sich zum frühstück versammeln "
+           "während die vögel in den alten bäumen singen dies ist eine "
+           "geschichte über menschen die in einer kleinen stadt am fluss "
+           "leben und sie haben immer gewusst dass das wasser leben und "
+           "veränderung für alle bringt die dort bleiben während der "
+           "langen wintermonate wenn schnee den boden bedeckt und die "
+           "tage kurz werden aber die nächte voller sterne sind"
+           " hallo guten morgen vielen dank bitte und willkommen mein fr"
+           "eund wie geht es dir heute mir geht es gut wir sehen uns mor"
+           "gen wieder eins zwei drei vier fünf sechs sieben acht neun z"
+           "ehn wie heißt du woher kommst du ich möchte etwas brot und w"
+           "asser das wetter ist heute kalt aber gestern war es warm mei"
+           "n haus hat viele zimmer und einen großen garten wir essen je"
+           "den abend zusammen und sprechen über arbeit schule bücher mu"
+           "sik und alles was in der woche passiert ist denn die zeit ve"
+           "rgeht so schnell wenn man mit den menschen glücklich ist die"
+           " man liebt"),
+    "fr": ("le renard brun rapide saute par dessus le chien paresseux et "
+           "court chaque matin à travers les champs verts avant que le "
+           "soleil ne se lève sur les collines où les enfants jouent avec "
+           "leurs amis et les familles se réunissent pour le petit "
+           "déjeuner pendant que les oiseaux chantent dans les vieux "
+           "arbres ceci est une histoire de gens qui vivent dans une "
+           "petite ville près de la rivière et ils ont toujours su que "
+           "l'eau apporte la vie et le changement à tous ceux qui restent "
+           "pendant les longs mois d'hiver quand la neige couvre le sol "
+           "et que les jours raccourcissent mais les nuits sont pleines "
+           "d'étoiles"
+           " bonjour bonne matinée merci beaucoup s'il vous plaît et bie"
+           "nvenue mon ami comment allez vous aujourd'hui je vais bien n"
+           "ous nous reverrons demain un deux trois quatre cinq six sept"
+           " huit neuf dix comment tu t'appelles d'où viens tu je voudra"
+           "is du pain et de l'eau le temps est froid aujourd'hui mais h"
+           "ier il faisait chaud ma maison a beaucoup de pièces et un gr"
+           "and jardin nous dînons ensemble chaque soir et parlons du tr"
+           "avail de l'école des livres de la musique et de tout ce qui "
+           "s'est passé pendant la semaine car le temps passe si vite qu"
+           "and on est heureux avec les gens qu'on aime"),
+    "es": ("el rápido zorro marrón salta sobre el perro perezoso y corre "
+           "cada mañana por los campos verdes antes de que el sol salga "
+           "sobre las colinas donde los niños juegan con sus amigos y las "
+           "familias se reúnen para desayunar mientras los pájaros cantan "
+           "en los árboles viejos esta es una historia sobre personas que "
+           "viven en un pueblo pequeño cerca del río y siempre han sabido "
+           "que el agua trae vida y cambio a todos los que se quedan "
+           "durante los largos meses de invierno cuando la nieve cubre el "
+           "suelo y los días se acortan pero las noches están llenas de "
+           "estrellas"
+           " hola buenos días muchas gracias por favor y bienvenido mi a"
+           "migo cómo estás hoy estoy bien nos veremos mañana otra vez u"
+           "no dos tres cuatro cinco seis siete ocho nueve diez cómo te "
+           "llamas de dónde vienes quisiera un poco de pan y agua el tie"
+           "mpo está frío hoy pero ayer hacía calor mi casa tiene muchas"
+           " habitaciones y un jardín grande cenamos juntos cada noche y"
+           " hablamos del trabajo de la escuela de los libros de la músi"
+           "ca y de todo lo que pasó durante la semana porque el tiempo "
+           "pasa muy rápido cuando estás feliz con la gente que quieres"),
+    "it": ("la rapida volpe marrone salta sopra il cane pigro e corre "
+           "ogni mattina attraverso i campi verdi prima che il sole sorga "
+           "sulle colline dove i bambini giocano con i loro amici e le "
+           "famiglie si riuniscono per la colazione mentre gli uccelli "
+           "cantano sugli alberi vecchi questa è una storia di persone "
+           "che vivono in una piccola città vicino al fiume e hanno "
+           "sempre saputo che l'acqua porta vita e cambiamento a tutti "
+           "quelli che restano durante i lunghi mesi invernali quando la "
+           "neve copre il terreno e i giorni si accorciano ma le notti "
+           "sono piene di stelle"
+           " ciao buongiorno grazie mille per favore e benvenuto amico m"
+           "io come stai oggi sto bene ci vediamo domani di nuovo uno du"
+           "e tre quattro cinque sei sette otto nove dieci come ti chiam"
+           "i da dove vieni vorrei un po' di pane e acqua il tempo è fre"
+           "ddo oggi ma ieri faceva caldo la mia casa ha molte stanze e "
+           "un grande giardino ceniamo insieme ogni sera e parliamo del "
+           "lavoro della scuola dei libri della musica e di tutto quello"
+           " che è successo durante la settimana perché il tempo passa c"
+           "osì in fretta quando sei felice con le persone che ami"),
+    "pt": ("a rápida raposa marrom pula sobre o cão preguiçoso e corre "
+           "todas as manhãs pelos campos verdes antes que o sol nasça "
+           "sobre as colinas onde as crianças brincam com os seus amigos "
+           "e as famílias se reúnem para o café da manhã enquanto os "
+           "pássaros cantam nas árvores velhas esta é uma história sobre "
+           "pessoas que vivem numa cidade pequena perto do rio e elas "
+           "sempre souberam que a água traz vida e mudança para todos os "
+           "que ficam durante os longos meses de inverno quando a neve "
+           "cobre o chão e os dias ficam curtos mas as noites estão "
+           "cheias de estrelas"
+           " olá bom dia muito obrigado por favor e bem vindo meu amigo "
+           "como está você hoje estou bem vamos nos ver amanhã de novo u"
+           "m dois três quatro cinco seis sete oito nove dez como você s"
+           "e chama de onde você vem eu gostaria de um pouco de pão e ág"
+           "ua o tempo está frio hoje mas ontem estava quente a minha ca"
+           "sa tem muitos quartos e um jardim grande jantamos juntos tod"
+           "as as noites e falamos sobre o trabalho a escola os livros a"
+           " música e tudo o que aconteceu durante a semana porque o tem"
+           "po passa muito rápido quando você está feliz com as pessoas "
+           "que ama"),
+    "nl": ("de snelle bruine vos springt over de luie hond en rent elke "
+           "ochtend door de groene velden voordat de zon opkomt boven de "
+           "heuvels waar de kinderen met hun vrienden spelen en de "
+           "families zich verzamelen voor het ontbijt terwijl de vogels "
+           "zingen in de oude bomen dit is een verhaal over mensen die in "
+           "een klein stadje aan de rivier wonen en ze hebben altijd "
+           "geweten dat het water leven en verandering brengt voor "
+           "iedereen die blijft tijdens de lange wintermaanden wanneer "
+           "sneeuw de grond bedekt en de dagen korter worden maar de "
+           "nachten vol sterren zijn"
+           " hallo goedemorgen dank je wel alsjeblieft en welkom mijn vr"
+           "iend hoe gaat het met je vandaag het gaat goed we zien elkaa"
+           "r morgen weer een twee drie vier vijf zes zeven acht negen t"
+           "ien hoe heet je waar kom je vandaan ik wil graag wat brood e"
+           "n water het weer is koud vandaag maar gisteren was het warm "
+           "mijn huis heeft veel kamers en een grote tuin we eten elke a"
+           "vond samen en praten over werk school boeken muziek en alles"
+           " wat er in de week is gebeurd want de tijd gaat zo snel voor"
+           "bij als je gelukkig bent met de mensen van wie je houdt"),
+    "sv": ("den snabba bruna räven hoppar över den lata hunden och "
+           "springer varje morgon genom de gröna fälten innan solen går "
+           "upp över kullarna där barnen leker med sina vänner och "
+           "familjerna samlas till frukost medan fåglarna sjunger i de "
+           "gamla träden detta är en berättelse om människor som bor i en "
+           "liten stad nära floden och de har alltid vetat att vattnet "
+           "ger liv och förändring till alla som stannar under de långa "
+           "vintermånaderna när snön täcker marken och dagarna blir korta "
+           "men nätterna är fulla av stjärnor"
+           " hej god morgon tack så mycket varsågod och välkommen min vä"
+           "n hur mår du idag jag mår bra vi ses igen imorgon ett två tr"
+           "e fyra fem sex sju åtta nio tio vad heter du var kommer du i"
+           "från jag skulle vilja ha lite bröd och vatten vädret är kall"
+           "t idag men igår var det varmt mitt hus har många rum och en "
+           "stor trädgård vi äter middag tillsammans varje kväll och pra"
+           "tar om arbete skola böcker musik och allt som hände under ve"
+           "ckan för tiden går så fort när man är lycklig med människorn"
+           "a man älskar"),
+    "pl": ("szybki brązowy lis skacze nad leniwym psem i biegnie każdego "
+           "ranka przez zielone pola zanim słońce wzejdzie nad wzgórzami "
+           "gdzie dzieci bawią się ze swoimi przyjaciółmi a rodziny "
+           "zbierają się na śniadanie podczas gdy ptaki śpiewają na "
+           "starych drzewach to jest opowieść o ludziach którzy mieszkają "
+           "w małym miasteczku nad rzeką i zawsze wiedzieli że woda "
+           "przynosi życie i zmiany wszystkim którzy zostają podczas "
+           "długich zimowych miesięcy kiedy śnieg pokrywa ziemię a dni "
+           "stają się krótkie ale noce są pełne gwiazd"
+           " cześć dzień dobry dziękuję bardzo proszę i witaj mój przyja"
+           "cielu jak się masz dzisiaj mam się dobrze zobaczymy się jutr"
+           "o znowu jeden dwa trzy cztery pięć sześć siedem osiem dziewi"
+           "ęć dziesięć jak masz na imię skąd pochodzisz chciałbym troch"
+           "ę chleba i wody pogoda jest dzisiaj zimna ale wczoraj było c"
+           "iepło mój dom ma wiele pokoi i duży ogród jemy razem kolację"
+           " każdego wieczoru i rozmawiamy o pracy szkole książkach muzy"
+           "ce i o wszystkim co wydarzyło się w ciągu tygodnia bo czas p"
+           "łynie tak szybko kiedy jesteś szczęśliwy z ludźmi których ko"
+           "chasz"),
+    "tr": ("hızlı kahverengi tilki tembel köpeğin üzerinden atlar ve her "
+           "sabah güneş tepelerin üzerinden doğmadan önce yeşil "
+           "tarlalarda koşar orada çocuklar arkadaşlarıyla oynar ve "
+           "aileler kahvaltı için toplanır kuşlar yaşlı ağaçlarda şarkı "
+           "söylerken bu nehrin yakınındaki küçük bir kasabada yaşayan "
+           "insanlar hakkında bir hikayedir ve onlar suyun kalanlara "
+           "yaşam ve değişim getirdiğini her zaman bilmişlerdir uzun kış "
+           "aylarında kar toprağı kapladığında ve günler kısaldığında ama "
+           "geceler yıldızlarla dolu olduğunda"
+           " merhaba günaydın çok teşekkür ederim lütfen ve hoş geldin a"
+           "rkadaşım bugün nasılsın iyiyim yarın tekrar görüşürüz bir ik"
+           "i üç dört beş altı yedi sekiz dokuz on adın ne nereden geliy"
+           "orsun biraz ekmek ve su istiyorum hava bugün soğuk ama dün s"
+           "ıcaktı evimin birçok odası ve büyük bir bahçesi var her akşa"
+           "m birlikte yemek yeriz ve iş okul kitaplar müzik ve hafta bo"
+           "yunca olan her şey hakkında konuşuruz çünkü sevdiğin insanla"
+           "rla mutlu olduğunda zaman çok hızlı geçer"),
 }
 
-_CJK = re.compile(r"[一-鿿]")
+LANGS = list(SEED_TEXT)          # fixed order = deterministic tie-break
+MAX_WORDS = 200                  # score at most the first 200 words
+_SCALE = 1000                    # milli-nats (integer weights)
+EVIDENCE_FLOOR_MILLI = -7200     # avg log p below -7.2 nats -> unknown
+
+
+def word_trigrams(word: str) -> list[str]:
+    """Padded character trigrams of one lowercase word: windows of
+    '#word#' (single window if shorter than 3)."""
+    w = "#" + word + "#"
+    if len(w) < 3:
+        return [w]
+    return [w[i:i + 3] for i in range(len(w) - 2)]
+
+
+def text_trigrams(text: str, max_words: int = MAX_WORDS) -> list[str]:
+    words = _WORD.findall((text or "").lower())[:max_words]
+    out: list[str] = []
+    for w in words:
+        out.extend(word_trigrams(w))
+    return out
+
+
+def _build_profiles() -> tuple[dict[str, dict[str, int]], dict[str, int]]:
+    """(weights[lang][tri] in milli-nats, floor[lang]).
+
+    weight = round(SCALE * ln(count / total)); floor (unseen trigram)
+    = round(SCALE * ln(0.5 / total))."""
+    weights: dict[str, dict[str, int]] = {}
+    floors: dict[str, int] = {}
+    for lang, seed in SEED_TEXT.items():
+        counts: dict[str, int] = {}
+        for tri in text_trigrams(seed, max_words=10_000):
+            counts[tri] = counts.get(tri, 0) + 1
+        total = sum(counts.values())
+        weights[lang] = {t: round(_SCALE * math.log(c / total))
+                         for t, c in counts.items()}
+        floors[lang] = round(_SCALE * math.log(0.5 / total))
+    return weights, floors
+
+
+PROFILES, FLOORS = _build_profiles()
+
+
+def _script_language(text: str) -> str:
+    """Script short-circuits, checked in a fixed order (Kana implies
+    Japanese even when Han characters are also present)."""
+    if _KANA.search(text):
+        return "ja"
+    if _HANGUL.search(text):
+        return "ko"
+    if _HAN.search(text):
+        return "zh"
+    return ""
 
 
 def detect_language(text: str) -> str:
-    """Best-scoring language by function-word hit rate; "" if unknown."""
+    """Best profile by total trigram log probability (integer milli-nats,
+    exact in any engine); '' when empty, letterless, or below the
+    evidence floor. Ties break on the fixed LANGS order."""
     if not text:
         return ""
-    if _CJK.search(text):
-        return "zh"
-    words = _WORD.findall(text.lower())
-    if not words:
+    script = _script_language(text)
+    if script:
+        return script
+    tris = text_trigrams(text)
+    if not tris:
         return ""
-    n = len(words)
-    best_lang, best = "", 0.0
-    for lang, stops in _STOPWORDS.items():
-        if not stops:
-            continue
-        score = sum(1 for w in words if w in stops) / n
-        if score > best:
-            best, best_lang = score, lang
-    # require minimal evidence, mirroring "unknown -> empty string"
-    return best_lang if best >= 0.05 else ""
+    best_lang, best = "", None
+    for lang in LANGS:
+        w = PROFILES[lang]
+        fl = FLOORS[lang]
+        s = 0
+        for t in tris:
+            s += w.get(t, fl)
+        if best is None or s > best:
+            best, best_lang = s, lang
+    # unknown if the average log-prob is below the evidence floor —
+    # compared in exact integer arithmetic (both sides are milli-nats):
+    #   best / len(tris) < EVIDENCE_FLOOR_MILLI
+    if best < EVIDENCE_FLOOR_MILLI * len(tris):
+        return ""
+    return best_lang
