@@ -1218,6 +1218,32 @@ def q_ivf_knn(spark, sf_dir):
                     vec_col="emb_d", round_decimals=6)
 
 
+def q_tagged_mentions_neural(spark, sf_dir):
+    """A2 reference-architecture neural lane: the POS|SUR|TRI (24,680-dim,
+    shipped trigram.tsv.gz vocab) -> Dense(300) -> Dense(300) ->
+    Graves-BiLSTM(100, ADD) -> softmax(5 BIOES) network from the bundled
+    annotator.xml, trained deterministically on the reference CoNLL
+    fixture (weights file not shipped — trained-from-fixture is the
+    hermetic ceiling; span F1 1.0 pinned in tests/test_bilstm.py).
+    Rows-only: a recurrent forward pass is not SQL-expressible; exact
+    semantics are pytest-gated (architecture shapes, fixture goldens,
+    V1 span-F1 under MentionAnnotatorEvaluation STRONG matching)."""
+    from texoo_spark.bilstm import tag_mentions_neural
+    from texoo_spark.extract import extract_discard_udf
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = F.split(F.col("text"), " ")
+    text2 = F.concat(
+        F.initcap(F.array_join(F.slice(words, 1, 3), " ")), F.lit(" "),
+        F.array_join(F.slice(words, 4, F.greatest(F.size(words) - 3,
+                                                  F.lit(1))), " "))
+    extracted = (docs.withColumn("doc", extract_discard_udf(text2))
+                 .select("doc_id", "doc.*"))
+    tagged = tag_mentions_neural(extracted)
+    return (tagged.select("doc_id",
+                          F.size("m_begin").cast("long").alias("n_mentions"))
+            .orderBy("doc_id"))
+
+
 def q_bemd_segments(spark, sf_dir):
     """A9-A11 embedding-deviation segmentation, one document per label
     group: groupBy(label).applyInPandas keeps every group on one executor
@@ -1362,6 +1388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spans / annotators
         "tagged_mentions": q_tagged_mentions,          # + entity linking
         "tagged_mentions_trained": q_tagged_mentions_trained,
+        # rows-only: recurrent BiLSTM forward is not SQL-expressible
+        "tagged_mentions_neural": q_tagged_mentions_neural,
         "bio_decode": q_bio_decode,
         "span_matches": q_span_matches,                # STRONG + WEAK
         "tokens_in_range": q_tokens_in_range,          # + span_zip
