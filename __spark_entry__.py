@@ -31,7 +31,18 @@ STOPLIST = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Table load with a small-file parallelism guard: the bundled SF
+    tables are single parquet files that scan as ONE split, serializing
+    every downstream pandas UDF onto one core. When the scan yields
+    fewer splits than cores, round-robin repartition to core count —
+    a no-op condition at real scale (100 TB tables scan as thousands of
+    splits) and a cheap shuffle of a small file locally. Filters written
+    by the queries still push down through the repartition node."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(par, 8):
+        df = df.repartition(par)
+    return df
 
 
 def _extracted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -67,7 +67,9 @@ def test_extract_tokens_prunes_documents_scan(spark):
 
 def test_gazetteer_matches_wholestage_codegen(spark):
     import __spark_entry__ as e
-    plan = plan_of(e.q_gazetteer_matches(spark, SF))
+    df = e.q_gazetteer_matches(spark, SF)
+    df.collect()  # finalize the AQE plan (isFinalPlan=true shows codegen)
+    plan = plan_of(df)
     assert "*(" in plan  # '*(n)' marks whole-stage-codegen spans
 
 

@@ -117,3 +117,26 @@ def test_multibyte_fnv_twin(text):
     got = _con(df).execute(
         "SELECT " + E._SQL_FNV.format(s="s") + " FROM t").fetchall()
     assert [int(r[0]) for r in got] == [fnv1a64(w) for w in words]
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(max_size=80), min_size=1, max_size=8))
+def test_fingerprint_batch_matches_scalar(texts):
+    """The vectorized batch fingerprint (UDF hot path) must be
+    bit-identical to the scalar definition on arbitrary text incl.
+    multi-space/tab runs and unicode."""
+    from texoo_spark.textquality import (document_fingerprint,
+                                         document_fingerprints_batch)
+    got = document_fingerprints_batch(texts)
+    assert got == [document_fingerprint(t) for t in texts]
+
+
+def test_fingerprint_batch_window_edges():
+    from texoo_spark.textquality import (document_fingerprint,
+                                         document_fingerprints_batch)
+    texts = ["", "one", " ".join(f"w{i}" for i in range(8)),     # == window
+             " ".join(f"w{i}" for i in range(9)),                # window+1
+             "a  b\tc\nd   e f g h i j k",                        # messy ws
+             "ü " * 20]                                           # multibyte
+    assert document_fingerprints_batch(texts) == [
+        document_fingerprint(t) for t in texts]

@@ -290,10 +290,32 @@ def _script_language(text: str) -> str:
     return ""
 
 
+def _build_combined():
+    """tri -> int64[|LANGS|] weight vector (per-language floor where the
+    trigram is unseen) — one dict lookup per trigram scores ALL
+    languages at once (the batch hot path)."""
+    import numpy as np
+    floorvec = np.array([FLOORS[lg] for lg in LANGS], dtype=np.int64)
+    combined: dict[str, "np.ndarray"] = {}
+    for li, lang in enumerate(LANGS):
+        for t, v in PROFILES[lang].items():
+            vec = combined.get(t)
+            if vec is None:
+                vec = floorvec.copy()
+                combined[t] = vec
+            vec[li] = v
+    return combined, floorvec
+
+
+_COMBINED, _FLOORVEC = _build_combined()
+
+
 def detect_language(text: str) -> str:
     """Best profile by total trigram log probability (integer milli-nats,
     exact in any engine); '' when empty, letterless, or below the
-    evidence floor. Ties break on the fixed LANGS order."""
+    evidence floor. Ties break on the fixed LANGS order (numpy argmax
+    returns the first maximum, same first-wins rule)."""
+    import numpy as np
     if not text:
         return ""
     script = _script_language(text)
@@ -302,18 +324,14 @@ def detect_language(text: str) -> str:
     tris = text_trigrams(text)
     if not tris:
         return ""
-    best_lang, best = "", None
-    for lang in LANGS:
-        w = PROFILES[lang]
-        fl = FLOORS[lang]
-        s = 0
-        for t in tris:
-            s += w.get(t, fl)
-        if best is None or s > best:
-            best, best_lang = s, lang
+    get = _COMBINED.get
+    s = np.sum([get(t, _FLOORVEC) for t in tris], axis=0,
+               dtype=np.int64)
+    bi = int(np.argmax(s))
+    best = int(s[bi])
     # unknown if the average log-prob is below the evidence floor —
     # compared in exact integer arithmetic (both sides are milli-nats):
     #   best / len(tris) < EVIDENCE_FLOOR_MILLI
     if best < EVIDENCE_FLOOR_MILLI * len(tris):
         return ""
-    return best_lang
+    return LANGS[bi]

@@ -94,3 +94,63 @@ def document_fingerprint(text: str, window: int = 8) -> int:
         return fnv1a64(" ".join(words))
     return min(fnv1a64(" ".join(words[i:i + window]))
                for i in range(len(words) - window + 1))
+
+
+def document_fingerprints_batch(texts, window: int = 8):
+    """document_fingerprint for a batch of texts in vectorized numpy
+    (bit-identical to the scalar path, property-tested).
+
+    Every word window's string is a CONTIGUOUS substring of the
+    single-space-joined word list, so the batch packs each text's joined
+    bytes once and evaluates FNV-1a over all windows simultaneously:
+    one numpy pass per byte POSITION (~window x mean-word-len passes)
+    instead of one Python-level loop per byte (~50x fewer interpreter
+    iterations; the UDF hot path for the quality-profile scan)."""
+    import numpy as np
+    prime = np.uint64(_FNV_PRIME)
+    starts_all, ends_all, bufs, owner, n_win = [], [], [], [], []
+    offset = 0
+    for ti, text in enumerate(texts):
+        words = _WS_TOKEN.findall((text or "").lower())
+        if not words:
+            n_win.append(0)
+            continue
+        joined = " ".join(words).encode("utf-8")
+        # byte offset of each word in `joined`
+        wlens = np.fromiter((len(w.encode("utf-8")) for w in words),
+                            dtype=np.int64, count=len(words))
+        wstarts = np.zeros(len(words), dtype=np.int64)
+        np.cumsum(wlens[:-1] + 1, out=wstarts[1:])
+        wends = wstarts + wlens
+        if len(words) <= window:
+            s = np.array([0], dtype=np.int64)
+            e = np.array([len(joined)], dtype=np.int64)
+        else:
+            k = len(words) - window + 1
+            s = wstarts[:k]
+            e = wends[window - 1:]
+        bufs.append(np.frombuffer(joined, dtype=np.uint8))
+        starts_all.append(s + offset)
+        ends_all.append(e + offset)
+        owner.extend([ti] * len(s))
+        n_win.append(len(s))
+        offset += len(joined)
+    out = [0] * len(list(n_win))
+    if not bufs:
+        return out
+    buf = np.concatenate(bufs)
+    starts = np.concatenate(starts_all)
+    ends = np.concatenate(ends_all)
+    lens = ends - starts
+    h = np.full(len(starts), np.uint64(_FNV_OFFSET), dtype=np.uint64)
+    for j in range(int(lens.max())):
+        active = np.nonzero(lens > j)[0]
+        b = buf[starts[active] + j].astype(np.uint64)
+        h[active] = (h[active] ^ b) * prime      # wraps mod 2^64
+    # per-text min over its windows
+    pos = 0
+    for ti, k in enumerate(n_win):
+        if k:
+            out[ti] = int(h[pos:pos + k].min())
+            pos += k
+    return out
