@@ -497,21 +497,31 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_bm25_topk(spark, sf_dir):
-    """Distributed BM25 retrieval, scoring + ranking in one probe (Lucene
-    PassageIndex/DocumentIndex + QueryRunner retrieve shape): docs scored
-    against 5 doc-prefix queries (single-build persisted postings,
-    broadcast query terms), round-3 rank key with doc_id tie-break for
-    cross-engine-exact rank membership. The score column value-oracles
-    the scoring machinery; rank the top-k window."""
-    from texoo_spark.retrieval import bm25_topk
+    """Distributed BM25 retrieval, BOTH lanes in one probe (Lucene
+    PassageIndex/DocumentIndex + QueryRunner retrieve shape):
+
+    - lane 'scores' (rank NULL): EVERY (query, doc) scored pair — the
+      oracle value-verifies the scoring machinery on all pairs, not just
+      rank survivors
+    - lane 'topk': round-3 rank key with doc_id tie-break for
+      cross-engine-exact top-10 rank membership
+
+    Single-build persisted postings, broadcast query terms."""
+    from texoo_spark.retrieval import bm25_scores, bm25_topk
     docs = _load(spark, sf_dir, "documents")
     queries = (docs.filter(F.col("doc_id") < 5)
                .select(F.col("doc_id").alias("query_id"),
                        F.array_join(F.slice(F.split(F.col("text"), " "),
                                             1, 3), " ").alias("query_text")))
-    return (bm25_topk(docs, queries, k=10, rank_round=3)
-            .select("query_id", F.col("rank").cast("long").alias("rank"),
+    scores = (bm25_scores(docs, queries)
+              .select(F.lit("scores").alias("lane"), "query_id",
+                      F.lit(None).cast("long").alias("rank"), "doc_id",
+                      F.round(F.col("score"), 3).alias("score")))
+    topk = (bm25_topk(docs, queries, k=10, rank_round=3)
+            .select(F.lit("topk").alias("lane"), "query_id",
+                    F.col("rank").cast("long").alias("rank"),
                     "doc_id", "score"))
+    return scores.unionByName(topk)
 
 
 def q_train_test_split(spark, sf_dir):
@@ -1151,23 +1161,6 @@ def q_bio_decode(spark, sf_dir):
     return (docs.withColumn("w", decode_udf(n_words))
             .select("doc_id", F.col("w.n_spans").alias("n_spans"),
                     F.col("w.bioes_valid").alias("bioes_valid")))
-
-
-def q_char_trigrams(spark, sf_dir):
-    """E2 LetterNGramEncoder: padded char-trigram count of the first word
-    ('#w#' windows; equals len(word) for len >= 1)."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType
-
-    @pandas_udf(LongType())
-    def tri_udf(words: pd.Series) -> pd.Series:
-        from texoo_spark.encoders import LetterNGramEncoder
-        enc = LetterNGramEncoder(n=3)
-        return pd.Series([len(enc.ngrams(w or "")) for w in words])
-
-    docs = _load(spark, sf_dir, "documents")
-    w1 = F.element_at(F.split(F.col("text"), " "), 1)
-    return docs.select("doc_id", tri_udf(w1).alias("n_trigrams"))
 
 
 # --- rows-only queries (non-SQL-expressible; pytest-gated semantics) ---
@@ -1948,8 +1941,11 @@ def oracle_sql() -> dict[str, str]:
             " r AS (SELECT query_id, doc_id, score, ROW_NUMBER() OVER ("
             " PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank"
             " FROM scored)"
-            " SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score"
-            " FROM r WHERE rank <= 10"),
+            " SELECT 'scores' AS lane, query_id,"
+            " CAST(NULL AS BIGINT) AS rank, doc_id, score FROM scored"
+            " UNION ALL"
+            " SELECT 'topk' AS lane, query_id, CAST(rank AS BIGINT) AS rank,"
+            " doc_id, score FROM r WHERE rank <= 10"),
         "train_test_split": (
             "WITH b AS (SELECT doc_id,"
             " ((strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[1])"
