@@ -30,15 +30,25 @@ PRED_TERMS = ("table", "scan", "join")
 STOPLIST = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
-def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _load(spark: SparkSession, sf_dir: str, name: str,
+          widen: bool = True) -> DataFrame:
     """Table load with a small-file parallelism guard: the bundled SF
     tables are single parquet files that scan as ONE split, serializing
-    every downstream pandas UDF onto one core. When the scan yields
-    fewer splits than cores, round-robin repartition to core count —
-    a no-op condition at real scale (100 TB tables scan as thousands of
-    splits) and a cheap shuffle of a small file locally. Filters written
-    by the queries still push down through the repartition node."""
+    every downstream pandas UDF (or heavy JVM expression) onto one core.
+    When the scan yields fewer splits than cores, round-robin repartition
+    to core count — a no-op condition at real scale (100 TB tables scan
+    as thousands of splits) and a cheap shuffle of a small file locally.
+    Filters written by the queries still push down through the
+    repartition node.
+
+    widen=False opts a query out: pure-relational probes whose first real
+    operator is itself a shuffle (groupBy / window partitionBy) gain
+    nothing from pre-spreading a single small split — the map side is a
+    trivial scan+partial-agg — so they keep the canonical
+    scan->filter->partial->exchange->final plan with no extra Exchange."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if not widen:
+        return df
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min(par, 8):
         df = df.repartition(par)
@@ -195,7 +205,7 @@ def q_token_prf(spark, sf_dir):
 
 def q_pricing_summary(spark, sf_dir):
     """R7 group-by aggregation (TPC-H Q1 shape), cents-exact integer sums."""
-    li = _load(spark, sf_dir, "lineitem")
+    li = _load(spark, sf_dir, "lineitem", widen=False)
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
@@ -206,7 +216,7 @@ def q_pricing_summary(spark, sf_dir):
 
 def q_top_order_per_customer(spark, sf_dir):
     """R6 ranking: highest-price order per customer."""
-    orders = _load(spark, sf_dir, "orders")
+    orders = _load(spark, sf_dir, "orders", widen=False)
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.col("o_orderkey"))
     return (orders.withColumn("rn", F.row_number().over(w))
@@ -218,9 +228,9 @@ def q_top_order_per_customer(spark, sf_dir):
 
 def q_nation_revenue(spark, sf_dir):
     """R10/R7 join + aggregation; nation broadcast (small dim)."""
-    orders = _load(spark, sf_dir, "orders")
-    cust = _load(spark, sf_dir, "customer")
-    nation = _load(spark, sf_dir, "nation")
+    orders = _load(spark, sf_dir, "orders", widen=False)
+    cust = _load(spark, sf_dir, "customer", widen=False)
+    nation = _load(spark, sf_dir, "nation", widen=False)
     return (orders
             .join(cust, orders.o_custkey == cust.c_custkey)
             .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -232,7 +242,7 @@ def q_nation_revenue(spark, sf_dir):
 
 def q_events_hourly(spark, sf_dir):
     """Tumbling window aggregation over the events table."""
-    ev = _load(spark, sf_dir, "events")
+    ev = _load(spark, sf_dir, "events", widen=False)
     return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
                        "event_type")
             .agg(F.count("*").alias("n_events"),
@@ -242,7 +252,7 @@ def q_events_hourly(spark, sf_dir):
 
 def q_running_user_totals(spark, sf_dir):
     """R8 ordered window: running event count + cents per user by time."""
-    ev = _load(spark, sf_dir, "events")
+    ev = _load(spark, sf_dir, "events", widen=False)
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (ev.select("user_id", "event_id",
@@ -253,7 +263,7 @@ def q_running_user_totals(spark, sf_dir):
 
 def q_dedup_prefix(spark, sf_dir):
     """Exact dedup on a derived key (hash-groupBy; min-id survivor)."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", widen=False)
     key = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")
     return (docs.withColumn("prefix_key", key)
             .groupBy("prefix_key")
@@ -530,7 +540,7 @@ def q_train_test_split(spark, sf_dir):
     cluster size, unlike randomSplit (whose output depends on seed AND
     partitioning; at 10^12 rows reproducible splits must be key-derived).
     Returns per-split counts + id ranges."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", widen=False)
     # md5 of the id string -> first 3 hex digits mod 10: overflow-free at
     # any id magnitude (a raw id*A product overflows BIGINT past ~3.5e9
     # ids), reproducible across engines, bias 4096 % 10 / 4096 < 0.1%
