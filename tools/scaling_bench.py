@@ -130,7 +130,10 @@ def main() -> None:
     tps = lambda t: n_turns / t  # noqa: E731
     eff_med = tps(large["median_sec"]) / (4 * tps(small["median_sec"]))
     eff_min = tps(large["min_sec"]) / (4 * tps(small["min_sec"]))
+    import time
     result = {"n_turns": n_turns, "sf": SF_DIR,
+              "window_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                          time.gmtime()),
               "small": {"cpus": N_SMALL, **small,
                         "turns_per_sec_median": round(tps(small["median_sec"]), 1)},
               "large": {"cpus": 4 * N_SMALL, **large,
@@ -141,42 +144,87 @@ def main() -> None:
               "normalized_efficiency_median": round(eff_med / hw["ceiling"], 3)}
     print(json.dumps(result))
 
-    import bench
     os.makedirs("/root/repo/BENCH", exist_ok=True)
-    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH — extraction throughput & scaling efficiency
+    with open(SESSIONS_LOG, "a") as f:
+        f.write(json.dumps(result) + "\n")
+    write_report()
+
+
+SESSIONS_LOG = "/root/repo/BENCH/scaling_sessions.jsonl"
+
+
+def write_report() -> None:
+    """Regenerate BENCH/BASELINE.md from the FULL session log: every
+    interleaved session across every time window, grouped by pair size,
+    with the distribution of medians/minima and the same-window
+    multiprocessing ceiling next to each session (VERDICT r02 #5: report
+    the distribution, never a single cherry-picked window)."""
+    import bench
+
+    sessions = [json.loads(line) for line in open(SESSIONS_LOG)]
+    by_pair: dict[int, list[dict]] = {}
+    for s in sessions:
+        by_pair.setdefault(s["small"]["cpus"], []).append(s)
+
+    lines = [f"""# BENCH — extraction throughput & scaling efficiency
 
 Job (identical at both sizes): read transcript parquet
-({n_turns:,} turns derived from {SF_DIR}, deterministic, generated
-once on disk, clustered into {bench.BUCKETS} pmod(hash(conv_id)) buckets
-with turn-block salting at ingest) -> stable sortWithinPartitions(conv_id,
-turn_idx) on the slim input rows -> fused HTML-strip + sentence/token
-segmentation mapInArrow stage (lean schema, no tok_text) -> zstd parquet
-write. One fresh JVM per timed run, warm-up excluded, sizes INTERLEAVED
-(N, 4N, N, 4N, ...) so shared-box load hits both equally; {RUNS} pairs.
+({sessions[-1]['n_turns']:,} turns derived from {SF_DIR}, deterministic,
+generated once on disk, clustered into {bench.BUCKETS} pmod(hash(conv_id))
+buckets with turn-block salting at ingest) -> stable
+sortWithinPartitions(conv_id, turn_idx) on the slim input rows -> fused
+HTML-strip + sentence/token segmentation mapInArrow stage (lean schema, no
+tok_text) -> zstd parquet write. One fresh JVM per timed run, warm-up
+excluded, sizes INTERLEAVED (N, 4N, N, 4N, ...) within a session so
+shared-box load hits both sizes equally; sessions repeated across separate
+time windows because the box's co-tenant load swings individual runs by up
+to ~50%. All sessions are reported — no window selection.
 
-| parallelism | runs (sec) | median (sec) | min (sec) | turns/sec (median) |
-|---|---|---|---|---|
-| local[{N_SMALL}] (N) | {small['runs_sec']} | {small['median_sec']} | {small['min_sec']} | {tps(small['median_sec']):,.0f} |
-| local[{4 * N_SMALL}] (4N) | {large['runs_sec']} | {large['median_sec']} | {large['min_sec']} | {tps(large['median_sec']):,.0f} |
+Efficiency = tps(4N) / (4 x tps(N)); "min" uses each size's fastest run
+(the standard least-noise throughput estimator under interference).
+"ceiling" is the pure-Python multiprocessing efficiency for the identical
+per-row workload at N vs 4N processes measured in the SAME window — the
+shared box's own hardware bound (memory bandwidth / turbo), which real
+N-vs-4N separate executors would not pay. "norm" = median / ceiling.
+"""]
+    for n_small, group in sorted(by_pair.items()):
+        lines.append(f"\n## local[{n_small}] -> local[{4 * n_small}] "
+                     f"({len(group)} session{'s' if len(group) > 1 else ''})\n")
+        lines.append("| window (UTC) | N runs (sec) | 4N runs (sec) | "
+                     "eff median | eff min | ceiling | norm |")
+        lines.append("|---|---|---|---|---|---|---|")
+        for s in group:
+            lines.append(
+                f"| {s.get('window_utc', '-')} "
+                f"| {s['small']['runs_sec']} | {s['large']['runs_sec']} "
+                f"| **{s['scaling_efficiency_median']:.3f}** "
+                f"| {s['scaling_efficiency_min']:.3f} "
+                f"| {s['hardware_ceiling']['ceiling']:.3f} "
+                f"| {s['normalized_efficiency_median']:.3f} |")
+        meds = [s["scaling_efficiency_median"] for s in group]
+        mins = [s["scaling_efficiency_min"] for s in group]
+        norms = [s["normalized_efficiency_median"] for s in group]
+        ge = sum(1 for m in meds if m >= 0.8)
+        lines.append(
+            f"\nDistribution: medians {sorted(meds)} "
+            f"(>=0.8 in {ge}/{len(meds)} sessions), minima {sorted(mins)}, "
+            f"normalized-by-ceiling {sorted(norms)}. "
+            f"Median turns/sec at local[{4 * n_small}]: "
+            f"{max(s['large']['turns_per_sec_median'] for s in group):,.0f} "
+            f"(best session).")
 
-**Scaling efficiency (N -> 4N), medians = {eff_med:.3f}; minima
-(least-noise estimator) = {eff_min:.3f}** (BASELINE requirement: >= 0.8).
-
-Shared-box caveat: both "cluster sizes" run on ONE machine, so the 4N
-configuration loses memory bandwidth / turbo headroom that real 4N separate
-executors would keep, and background load on the sandbox perturbs
-individual runs by up to ~50%. The pure-Python multiprocessing ceiling for
-this exact per-row workload (no Spark) at {N_SMALL} vs {4 * N_SMALL}
-processes is {hw['ceiling']:.3f} ({hw['small_tps']:,.0f} ->
-{hw['large_tps']:,.0f} turns/sec). Spark efficiency normalized by that
-ceiling: **{eff_med / hw['ceiling']:.3f}**.
+    lines.append("""
+BASELINE requirement: >= 0.8 N -> 4N. Sessions are append-only
+(`BENCH/scaling_sessions.jsonl`, written by `tools/scaling_bench.py`);
+re-run the tool to add a window.
 
 Spark confs: spark.sql.shuffle.partitions = 2x cores, AQE + skew-join on,
 arrow maxRecordsPerBatch = 40000, parquet zstd,
 spark.sql.files.maxPartitionBytes = 8m (UDF-heavy scan: partition count
 must track rows, not bytes).
 """)
+    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+        f.write("\n".join(lines))
     print("wrote BENCH/BASELINE.md")
 
 
