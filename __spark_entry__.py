@@ -557,9 +557,28 @@ def q_train_test_split(spark, sf_dir):
 
 
 def q_pdf_layout(spark, sf_dir):
-    """PDF layout reconstruction: a deterministic word-box table (3 lines
-    x 4 words, paragraph gap before line 3) -> reading-order text via
-    groupBy(doc).applyInPandas over pdfops.layout_text."""
+    """PDF layout extraction, BOTH lanes in one probe:
+
+    - lane 'boxes': a deterministic word-box table (3 lines x 4 words,
+      paragraph gap before line 3) -> reading-order text via
+      groupBy(doc).applyInPandas over pdfops.layout_text (the layout
+      stage in isolation).
+    - lane 'bytes': REAL PDF decode round trip. pdfgen.make_pdf builds
+      spec-conformant PDF bytes per doc (first 16 words, 3 words/line,
+      8 words/paragraph; FlateDecode-compressed for doc_id % 3 != 0,
+      two-column layout for odd doc_id) into an opaque binary column;
+      pdfops.decode_pdf_bytes parses the object graph / inflates streams /
+      interprets the content-stream text operators back into word boxes,
+      and layout_text reconstructs reading order. Reading order is
+      invariant to the compression and column knobs, so the oracle states
+      the expected text in SQL: words 1-8 joined, newline, words 9-16.
+
+    At scale the binary column is the real input (PDFs fetched into the
+    table); generation here is the hermetic stand-in. Decode is a
+    per-row-independent Arrow-batched map — no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType, StringType
+
     from texoo_spark.pdfops import WordBox, layout_text
     docs = _load(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
@@ -580,8 +599,34 @@ def q_pdf_layout(spark, sf_dir):
         return pd.DataFrame({"doc_id": [pdf["doc_id"].iloc[0]],
                              "layout_text": [layout_text(wb)]})
 
-    return (boxes.groupBy("doc_id")
-            .applyInPandas(run, "doc_id long, layout_text string"))
+    boxes_lane = (boxes.groupBy("doc_id")
+                  .applyInPandas(run, "doc_id long, layout_text string")
+                  .select(F.lit("boxes").alias("lane"), "doc_id",
+                          "layout_text"))
+
+    @pandas_udf(BinaryType())
+    def gen_pdf(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        from texoo_spark.pdfgen import make_pdf, wrap_words
+        out = []
+        for i, t in zip(ids, texts):
+            ws = (t or "").split(" ")[:16]
+            out.append(make_pdf([wrap_words(ws, per_line=3, per_para=8)],
+                                two_column=bool(i % 2),
+                                compress=(i % 3 != 0)))
+        return pd.Series(out)
+
+    @pandas_udf(StringType())
+    def decode_layout(pdfs: pd.Series) -> pd.Series:
+        from texoo_spark.pdfops import decode_pdf_bytes, layout_text
+        return pd.Series([layout_text(decode_pdf_bytes(bytes(b)))
+                          for b in pdfs])
+
+    bytes_lane = (docs.filter(F.size(words) >= 16)
+                  .withColumn("pdf", gen_pdf(F.col("doc_id"), F.col("text")))
+                  .select(F.lit("bytes").alias("lane"), "doc_id",
+                          decode_layout(F.col("pdf")).alias("layout_text")))
+
+    return boxes_lane.unionByName(bytes_lane)
 
 
 def q_conversation_text(spark, sf_dir):
@@ -1970,14 +2015,25 @@ def oracle_sql() -> dict[str, str]:
             " MIN(doc_id) AS min_id, MAX(doc_id) AS max_id"
             " FROM b GROUP BY 1"),
         "pdf_layout": (
-            # lines 1-2 gap = 2, line 3 gap = 22 > 1.8 x median(2) ->
-            # paragraph break before word 9 (pdfops._paragraphs semantics)
-            "SELECT doc_id,"
+            # boxes lane: lines 1-2 gap = 2, line 3 gap = 22 > 1.8 x
+            # median(2) -> paragraph break before word 9 (pdfops.
+            # _paragraphs semantics). bytes lane: real PDF round trip,
+            # 16 words wrapped 3/line 8/para -> words 1-8 \n words 9-16;
+            # reading order is invariant to the compression / two-column
+            # knobs, so the oracle is pure text arithmetic.
+            "SELECT 'boxes' AS lane, doc_id,"
             " array_to_string(string_split(text, ' ')[1:8], ' ')"
             " || chr(10) ||"
             " array_to_string(string_split(text, ' ')[9:12], ' ')"
             " AS layout_text FROM documents"
-            " WHERE len(string_split(text, ' ')) >= 12"),
+            " WHERE len(string_split(text, ' ')) >= 12"
+            " UNION ALL "
+            "SELECT 'bytes' AS lane, doc_id,"
+            " array_to_string(string_split(text, ' ')[1:8], ' ')"
+            " || chr(10) ||"
+            " array_to_string(string_split(text, ' ')[9:16], ' ')"
+            " AS layout_text FROM documents"
+            " WHERE len(string_split(text, ' ')) >= 16"),
         "bio_decode": (
             "SELECT doc_id,"
             " CAST((len(string_split(text, ' ')) + 2) // 3 AS BIGINT)"

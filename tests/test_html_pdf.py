@@ -134,9 +134,86 @@ def test_pdf_pages_ordered():
     assert text == "Page one text here\nPage two text here"
 
 
-def test_pdf_decode_stub():
-    with pytest.raises(NotImplementedError):
+# --- real PDF byte decode (pdfgen writer -> pdfops reader round trip) ---
+
+WORDS16 = [f"word{i:02d}" for i in range(16)]
+
+
+def _pdf_roundtrip(two_column, compress):
+    from texoo_spark.pdfgen import make_pdf, wrap_words
+    pdf = make_pdf([wrap_words(WORDS16, per_line=3, per_para=8)],
+                   two_column=two_column, compress=compress)
+    return layout_text(decode_pdf_bytes(pdf))
+
+
+EXPECTED16 = (" ".join(WORDS16[:8]) + "\n" + " ".join(WORDS16[8:]))
+
+
+@pytest.mark.parametrize("two_column", [False, True])
+@pytest.mark.parametrize("compress", [False, True])
+def test_pdf_roundtrip_exact(two_column, compress):
+    assert _pdf_roundtrip(two_column, compress) == EXPECTED16
+
+
+def test_pdf_roundtrip_multipage():
+    from texoo_spark.pdfgen import make_pdf
+    pdf = make_pdf([[["page one text"]], [["page two text"]]],
+                   compress=True)
+    assert layout_text(decode_pdf_bytes(pdf)) == \
+        "page one text\npage two text"
+
+
+def test_pdf_roundtrip_escapes():
+    # literal-string escaping: backslash, parens, tab (writer escapes,
+    # reader un-escapes)
+    from texoo_spark.pdfgen import make_pdf
+    pdf = make_pdf([[[r"a\b (c) d"]]], compress=False)
+    words = [w.text for w in decode_pdf_bytes(pdf)]
+    assert words == ["a\\b", "(c)", "d"]
+
+
+def test_pdf_decode_hex_and_tj(tmp_path=None):
+    # hand-written content exercising <hex>, TJ arrays with kern
+    # adjustments, and octal escapes — paths pdfgen doesn't emit
+    content = (b"BT /F1 10 Tf 12 TL 72 720 Td "
+               b"[<68656c6c6f> -1000 (world)] TJ T* "
+               b"(\\110\\151) Tj ET\n")
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R"
+           b" /MediaBox [0 0 612 792] /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length " + str(len(content)).encode() +
+           b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+           b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n")
+    # TJ -1000 widens the gap by size * 1 pt -> separate words on the
+    # baseline; T* drops to the next line, same paragraph
+    assert layout_text(decode_pdf_bytes(pdf)) == "hello world Hi"
+
+
+def test_pdf_decode_indirect_length():
+    # /Length as an indirect reference (common in incremental writers)
+    content = b"BT /F1 10 Tf 72 720 Td (indirect length works) Tj ET\n"
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+           b"endobj\n"
+           b"4 0 obj\n<< /Length 5 0 R >>\nstream\n" + content +
+           b"\nendstream\nendobj\n"
+           b"5 0 obj\n" + str(len(content)).encode() + b"\nendobj\n"
+           b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n")
+    assert layout_text(decode_pdf_bytes(pdf)) == "indirect length works"
+
+
+def test_pdf_decode_no_pages_raises():
+    with pytest.raises(ValueError):
         decode_pdf_bytes(b"%PDF-1.4")
+
+
+def test_pdf_decode_encrypted_raises():
+    with pytest.raises(NotImplementedError):
+        decode_pdf_bytes(b"%PDF-1.4\n1 0 obj\n<< /Encrypt 2 0 R >>\nendobj")
 
 
 # --- language id ---
