@@ -458,18 +458,30 @@ def q_max_overlap_token(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing, both lanes in one probe:
+    """Multimodal plumbing, THREE lanes in one probe:
 
-    - feature extraction: payloads as opaque binary -> mapInPandas
-      (sha256 + byte counts; decode stubbed — no codecs in env)
-    - frame-sampling PLAN: (media_id, duration_ms) metadata expands to
-      one row per sampled frame timestamp WITHOUT touching payload bytes
-      (decode happens downstream only for sampled rows). Every 3rd doc
-      is a video at 250ms/word; join restricts to those.
+    - lane 'frames': feature extraction (payloads as opaque binary ->
+      mapInPandas, sha256 + byte counts) joined with the frame-sampling
+      PLAN — (media_id, duration_ms) metadata expands to one row per
+      sampled frame timestamp WITHOUT touching payload bytes (decode
+      happens downstream only for sampled rows). Every 3rd doc is a
+      video at 250ms/word; join restricts to those.
+    - lane 'decoded': REAL codec round trip. mediacodec.synth_media_payload
+      builds spec-conformant PNG / BMP / RIFF-WAV bytes per media_id (pixel
+      and sample values are a closed-form function of media_id) into an
+      opaque binary column; decode_media_stats parses the bytes back
+      through the real container grammar (PNG chunk walk + CRC + inflate +
+      per-row de-filtering incl. Sub/Up/Average/Paeth, BMP header + BGR
+      rows, RIFF chunk walk + PCM16) and reports value statistics. The
+      oracle states width/height/count/mean/first/last in closed form from
+      media_id — decoding bugs anywhere in the chain break the hash.
 
-    Output: one row per sampled frame with the doc's media features."""
-    from texoo_spark.multimodal import extract_media_features, \
-        frame_sample_plan
+    At scale the binary column is the real input (media fetched into the
+    table); generation here is the hermetic stand-in, same strategy as
+    pdf_layout's bytes lane. Both lanes are per-row-independent
+    Arrow-batched maps — no shuffle before the metadata join."""
+    from texoo_spark.multimodal import decode_media_stats, \
+        extract_media_features, frame_sample_plan
     docs = _load(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -488,7 +500,39 @@ def q_media_features(spark, sf_dir):
     frames = (frame_sample_plan(video_meta, every_ms=1000)
               .select("media_id",
                       F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")))
-    return frames.join(feats, "media_id")
+    frames_lane = (frames.join(feats, "media_id")
+                   .select(F.lit("frames").alias("lane"),
+                           "media_id", "frame_ts_ms", "sha256", "n_bytes",
+                           F.lit(None).cast("string").alias("mime"),
+                           F.lit(None).cast("int").alias("width"),
+                           F.lit(None).cast("int").alias("height"),
+                           F.lit(None).cast("long").alias("v_count"),
+                           F.lit(None).cast("double").alias("v_mean"),
+                           F.lit(None).cast("double").alias("v_first"),
+                           F.lit(None).cast("double").alias("v_last")))
+
+    def synth(batches):
+        from texoo_spark.mediacodec import synth_media_payload
+        for pdf in batches:
+            made = [synth_media_payload(int(i)) for i in pdf["media_id"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "mime": [m for m, _ in made],
+                                "payload": [p for _, p in made]},
+                               columns=["media_id", "mime", "payload"])
+
+    payloads = (docs.select(F.col("doc_id").alias("media_id"))
+                .filter(F.col("media_id") < 120)
+                .mapInPandas(synth, "media_id long, mime string,"
+                                    " payload binary"))
+    decoded_lane = (decode_media_stats(payloads)
+                    .select(F.lit("decoded").alias("lane"), "media_id",
+                            F.lit(None).cast("long").alias("frame_ts_ms"),
+                            F.lit(None).cast("string").alias("sha256"),
+                            F.lit(None).cast("long").alias("n_bytes"),
+                            "mime", "width", "height", "v_count",
+                            F.round("v_mean", 6).alias("v_mean"),
+                            "v_first", "v_last"))
+    return frames_lane.unionByName(decoded_lane)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1940,9 +1984,48 @@ def oracle_sql() -> dict[str, str]:
             " frames AS (SELECT doc_id AS media_id, CAST(unnest(range(0,"
             " greatest(len(string_split(text, ' ')) * 250 - 1, 0) + 1,"
             " 1000)) AS BIGINT) AS frame_ts_ms"
-            " FROM documents WHERE doc_id % 3 = 0)"
-            " SELECT media_id, frame_ts_ms, sha256, n_bytes"
-            " FROM frames JOIN feats USING (media_id)"),
+            " FROM documents WHERE doc_id % 3 = 0),"
+            # closed-form stats of mediacodec.synth_media_payload: images
+            # (kind 0 png / 1 bmp) are W=16*(1+g%2) x H=16*(1+g%3) x 3ch
+            # with px = (r*W+c+id%200)%256 (W*H a multiple of 256 -> mean
+            # exactly 127.5); audio (kind 2) is n=256*(8+g%5) PCM16
+            # samples s[i]=((i+id%128)%256-128)*16 -> mean exactly -8.
+            " geo AS (SELECT doc_id AS media_id, doc_id % 3 AS kind,"
+            " 16 * (1 + (doc_id // 3) % 2) AS w,"
+            " 16 * (1 + (doc_id // 3) % 3) AS h,"
+            " 256 * (8 + (doc_id // 3) % 5) AS n,"
+            " doc_id % 200 AS mp, doc_id % 128 AS mq"
+            " FROM documents WHERE doc_id < 120),"
+            " dec AS (SELECT media_id,"
+            " CASE kind WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'"
+            " ELSE 'audio/wav' END AS mime,"
+            " CAST(CASE WHEN kind < 2 THEN w ELSE n END AS INTEGER)"
+            " AS width,"
+            " CAST(CASE WHEN kind < 2 THEN h ELSE 1 END AS INTEGER)"
+            " AS height,"
+            " CAST(CASE WHEN kind < 2 THEN w * h * 3 ELSE n END AS BIGINT)"
+            " AS v_count,"
+            " CASE WHEN kind < 2 THEN 127.5 ELSE -8.0 END AS v_mean,"
+            " CASE WHEN kind < 2 THEN CAST(mp AS DOUBLE)"
+            " ELSE (mq - 128) * 16.0 END AS v_first,"
+            " CASE WHEN kind < 2 THEN"
+            " CAST(((h - 1) * w + w - 1 + mp) % 256 AS DOUBLE)"
+            " ELSE ((mq + 255) % 256 - 128) * 16.0 END AS v_last"
+            " FROM geo)"
+            " SELECT 'frames' AS lane, media_id, frame_ts_ms, sha256,"
+            " n_bytes, CAST(NULL AS VARCHAR) AS mime,"
+            " CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER)"
+            " AS height, CAST(NULL AS BIGINT) AS v_count,"
+            " CAST(NULL AS DOUBLE) AS v_mean, CAST(NULL AS DOUBLE)"
+            " AS v_first, CAST(NULL AS DOUBLE) AS v_last"
+            " FROM frames JOIN feats USING (media_id)"
+            " UNION ALL"
+            " SELECT 'decoded' AS lane, media_id,"
+            " CAST(NULL AS BIGINT) AS frame_ts_ms,"
+            " CAST(NULL AS VARCHAR) AS sha256,"
+            " CAST(NULL AS BIGINT) AS n_bytes, mime, width, height,"
+            " v_count, ROUND(v_mean, 6) AS v_mean, v_first, v_last"
+            " FROM dec"),
         "ngram_jaccard_dups": (
             "WITH base AS ("
             " SELECT doc_id AS id, lower(text) AS text FROM documents"

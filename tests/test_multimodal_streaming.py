@@ -17,12 +17,38 @@ def spark():
     s.stop()
 
 
-def test_decode_stubs():
+def test_decode_unknown_formats_stay_stubbed():
+    """Entropy-coded formats stay honest NotImplementedError (PNG/BMP/WAV
+    now dispatch to the real stdlib codecs — tests/test_mediacodec.py)."""
     from texoo_spark.multimodal import decode_audio, decode_image
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0 jpeg")
     with pytest.raises(NotImplementedError):
-        decode_audio(b"RIFF")
+        decode_audio(b"ID3 mp3")
+
+
+def test_decode_media_stats_spark(spark):
+    """The real-codec decode lane: synth payloads -> decode_media_stats
+    round trip inside Spark, stats match the generator's closed forms."""
+    from texoo_spark.mediacodec import synth_media_payload
+    from texoo_spark.multimodal import decode_media_stats
+    rows = []
+    for i in range(12):
+        mime, payload = synth_media_payload(i)
+        rows.append((i, mime, bytearray(payload)))
+    media = spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary")
+    got = {r.media_id: r for r in decode_media_stats(media).collect()}
+    assert len(got) == 12
+    for i in range(12):
+        r = got[i]
+        if i % 3 == 2:
+            assert r.mime == "audio/wav" and r.height == 1
+            assert r.v_mean == -8.0
+        else:
+            assert r.mime.startswith("image/")
+            assert r.v_count == r.width * r.height * 3
+            assert r.v_mean == 127.5
 
 
 def test_media_feature_extraction(spark):

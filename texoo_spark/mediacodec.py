@@ -1,0 +1,307 @@
+"""Real stdlib-only media codecs: PNG, BMP, WAV (net-new, closes the
+"decode stubbed" deferral for the formats whose byte-level codecs need
+nothing beyond zlib/struct — the same hermetic strategy as pdfgen/pdfops:
+a deterministic spec-conformant WRITER stands in for "payloads arrived as
+binary columns", and the engine's DECODER reads the bytes back through the
+real container grammar).
+
+Decoders (numpy out, exact):
+
+- decode_png: PNG chunk walk with CRC verification, IHDR parse, IDAT
+  concatenation + zlib inflate, and full scanline de-filtering for all
+  five filter types (None/Sub/Up/Average/Paeth, ISO 15948 §9) over bit
+  depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha) and 6 (RGBA).
+  Sub de-filtering is vectorized as a wrapping uint8 prefix sum per
+  channel; Average/Paeth fall back to a per-pixel loop only on rows that
+  use them. Out of scope: bit depths 1/2/4/16, palette, interlacing.
+- decode_bmp: BITMAPFILEHEADER/INFOHEADER, uncompressed 24/32-bit BI_RGB,
+  bottom-up or top-down rows, 4-byte row padding, BGR(A)->RGB(A).
+- decode_wav: RIFF chunk walk (fmt /data in any order, unknown chunks
+  skipped), PCM 8/16-bit, any channel count -> (samples[n, ch], rate).
+
+Writers (deterministic, used by fixtures and the hermetic query input):
+
+- make_png emits one IDAT with per-row filter type ``row % 5`` so every
+  decoder filter path runs on every image taller than four rows.
+- make_bmp emits bottom-up 24-bit BI_RGB with row padding.
+- make_wav emits PCM16 mono.
+
+JPEG/MP3/MP4 remain honestly out of scope (entropy-coded codecs; plug a
+real library into multimodal.decode_image on a cluster that has one).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body)))
+
+
+def make_png(img: np.ndarray) -> bytes:
+    """Encode an (H, W) or (H, W, C) uint8 array (C in 1/2/3/4) as PNG.
+    Filter type cycles row % 5, exercising every de-filter path."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for r in range(h):
+        line = img[r].reshape(-1)
+        ft = r % 5
+        if ft == 0:
+            filt = line
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
+            filt = line - left
+        elif ft == 2:  # Up
+            filt = line - prev
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
+            filt = line - ((left.astype(np.uint16)
+                            + prev.astype(np.uint16)) // 2).astype(np.uint8)
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+            filt = line - _paeth(left, prev, ul)
+        raw.append(ft)
+        raw += filt.tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _chunk(b"IEND", b""))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (ISO 15948 §9.4)."""
+    a16, b16, c16 = (x.astype(np.int16) for x in (a, b, c))
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    out = np.where((pa <= pb) & (pa <= pc), a,
+                   np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, C) uint8. Raises ValueError on non-PNG bytes,
+    bad CRCs, or features outside the supported subset."""
+    if not data.startswith(PNG_SIG):
+        raise ValueError("not a PNG: bad signature")
+    pos, n = len(PNG_SIG), len(data)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={color_type} "
+            f"interlace={interlace} (supported: 8-bit gray/RGB/GA/RGBA, "
+            f"non-interlaced)")
+    c = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, r * (stride + 1) + 1).copy()
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: wrapping per-channel prefix sum
+            line = np.add.accumulate(
+                line.reshape(w, c), axis=0, dtype=np.uint8).reshape(-1)
+        elif ft == 2:  # Up
+            line += prev
+        elif ft == 3:  # Average (left-dependent: per-pixel)
+            for i in range(stride):
+                left = int(line[i - c]) if i >= c else 0
+                line[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ft == 4:  # Paeth (left-dependent: per-pixel)
+            for i in range(stride):
+                a = int(line[i - c]) if i >= c else 0
+                b = int(prev[i])
+                cc = int(prev[i - c]) if i >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                line[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft} invalid")
+        out[r] = line
+        prev = line
+    return out.reshape(h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# BMP (uncompressed BI_RGB, 24/32-bit)
+# ---------------------------------------------------------------------------
+
+def make_bmp(img: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as bottom-up 24-bit BI_RGB BMP."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("make_bmp writes 24-bit RGB only")
+    row_len = (w * 3 + 3) & ~3
+    body = bytearray()
+    pad = b"\x00" * (row_len - w * 3)
+    for r in range(h - 1, -1, -1):  # bottom-up
+        body += img[r, :, ::-1].tobytes() + pad  # RGB -> BGR
+    off = 14 + 40
+    header = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return header + bytes(body)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes -> (H, W, 3|4) uint8 (RGB order). Uncompressed BI_RGB,
+    24/32-bit, bottom-up or top-down."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP: bad signature")
+    (off,) = struct.unpack("<I", data[10:14])
+    hdr_size, w, h_signed, planes, bits, comp = struct.unpack_from(
+        "<IiiHHI", data, 14)
+    if comp != 0 or bits not in (24, 32):
+        raise ValueError(f"unsupported BMP: {bits}-bit compression={comp}")
+    h = abs(h_signed)
+    c = bits // 8
+    row_len = (w * c + 3) & ~3
+    out = np.empty((h, w, c), dtype=np.uint8)
+    for i in range(h):
+        r = h - 1 - i if h_signed > 0 else i  # bottom-up when positive
+        line = np.frombuffer(data, np.uint8, w * c, off + i * row_len)
+        out[r] = line.reshape(w, c)[:, [2, 1, 0] + ([3] if c == 4 else [])]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM)
+# ---------------------------------------------------------------------------
+
+def make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode int16 mono samples as a PCM16 RIFF/WAVE file."""
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (samples[n, channels] int16, sample_rate). PCM 8/16-bit;
+    unknown RIFF chunks are skipped (word-aligned)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos, n = 12, len(data)
+    fmt = pcm = None
+    while pos + 8 <= n:
+        tag = data[pos:pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + length]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt /data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV: format={audio_fmt} bits={bits}")
+    if bits == 16:
+        samples = np.frombuffer(pcm, "<i2",
+                                len(pcm) // (2 * channels) * channels)
+        samples = samples.astype(np.int16)
+    else:  # 8-bit PCM is unsigned, centered at 128
+        samples = (np.frombuffer(pcm, np.uint8).astype(np.int16) - 128) * 256
+    return samples.reshape(-1, channels), rate
+
+
+# ---------------------------------------------------------------------------
+# Deterministic payload generator + feature extraction (the hermetic
+# query lane: payload bytes are a pure function of media_id with
+# closed-form value statistics, so a SQL oracle can state the expected
+# features without decoding anything)
+# ---------------------------------------------------------------------------
+
+def synth_media_payload(media_id: int) -> tuple[str, bytes]:
+    """(mime, payload) for one media_id. Pixel/sample rules (m' = id%200,
+    m'' = id%128):
+
+    - image (id%3 in {0 png, 1 bmp}): W = 16*(1+(id//3)%2),
+      H = 16*(1+(id//3)%3), px(r,c,ch) = (r*W + c + m') % 256 for every
+      channel. W*H is a multiple of 256, so mean(px) = 127.5 exactly.
+    - audio (id%3 == 2): n = 256*(8+(id//3)%5) PCM16 samples at 8 kHz,
+      s[i] = ((i + m'') % 256 - 128) * 16; mean(s) = -8.0 exactly.
+    """
+    kind = media_id % 3
+    if kind in (0, 1):
+        w = 16 * (1 + (media_id // 3) % 2)
+        h = 16 * (1 + (media_id // 3) % 3)
+        base = (np.arange(h)[:, None] * w + np.arange(w)[None, :]
+                + media_id % 200) % 256
+        img = np.repeat(base[:, :, None], 3, axis=2).astype(np.uint8)
+        if kind == 0:
+            return "image/png", make_png(img)
+        return "image/bmp", make_bmp(img)
+    n = 256 * (8 + (media_id // 3) % 5)
+    s = ((np.arange(n) + media_id % 128) % 256 - 128) * 16
+    return "audio/wav", make_wav(s.astype(np.int16))
+
+
+def decode_features(mime: str, payload: bytes) -> dict:
+    """Decode a payload with the REAL codec and report value statistics:
+    width, height, v_count (pixels x channels or samples), v_mean,
+    v_first, v_last. These are what the SQL oracle states in closed form
+    for synth_media_payload inputs."""
+    if mime == "image/png":
+        arr = decode_png(payload)
+    elif mime == "image/bmp":
+        arr = decode_bmp(payload)
+    elif mime == "audio/wav":
+        samples, rate = decode_wav(payload)
+        flat = samples.reshape(-1).astype(np.float64)
+        return {"width": int(samples.shape[0]), "height": 1,
+                "v_count": int(flat.size), "v_mean": float(flat.mean()),
+                "v_first": float(flat[0]), "v_last": float(flat[-1])}
+    else:
+        raise ValueError(f"no codec for mime {mime}")
+    flat = arr.reshape(-1).astype(np.float64)
+    return {"width": int(arr.shape[1]), "height": int(arr.shape[0]),
+            "v_count": int(flat.size), "v_mean": float(flat.mean()),
+            "v_first": float(flat[0]), "v_last": float(flat[-1])}
