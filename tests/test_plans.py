@@ -142,3 +142,32 @@ def test_passage_retrieval_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # exactly the two embedding-producer UDF stages cross into Python
     assert plan.count("ArrowEvalPython") == 2
+
+
+def test_media_decode_lane_is_map_only(spark):
+    """The real-codec decode lane (media_features 'decoded'): payload
+    synthesis -> container decode is two chained Arrow-batched maps with
+    NO exchange — per-row independent, so at 100 TB payload bytes never
+    shuffle and never return to the JVM."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from texoo_spark.mediacodec import synth_media_payload
+    from texoo_spark.multimodal import decode_media_stats
+
+    ids = spark.range(24).select(F.col("id").alias("media_id"))
+
+    def synth(batches):
+        for pdf in batches:
+            made = [synth_media_payload(int(i)) for i in pdf["media_id"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "mime": [m for m, _ in made],
+                                "payload": [p for _, p in made]},
+                               columns=["media_id", "mime", "payload"])
+
+    df = decode_media_stats(ids.mapInPandas(
+        synth, "media_id long, mime string, payload binary"))
+    df.collect()  # finalize any adaptive plan before reading its string
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
