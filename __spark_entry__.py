@@ -600,6 +600,39 @@ def q_train_test_split(spark, sf_dir):
                  F.max("doc_id").alias("max_id")))
 
 
+def q_table_snapshots(spark, sf_dir):
+    """Transactional table-format lane (the Iceberg/Delta seam,
+    texoo_spark/tablelog.py): two appends + a copy-on-write delete + a
+    third append against a versioned parquet table, then TIME-TRAVEL
+    reads of every version, all in one probe. The oracle states each
+    version's exact contents in closed form, so atomicity/visibility
+    bugs (torn commits, a delete rewriting the wrong files, version
+    skew, schema drift through the log) break the value hash.
+
+    Commit sequence over documents(doc_id < 300):
+      v1 append  doc_id % 3 = 0
+      v2 append  doc_id % 3 = 1
+      v3 delete  doc_id % 2 = 0   (copy-on-write rewrite)
+      v4 append  doc_id % 3 = 2   (deleted evens of lane 2 return)"""
+    import tempfile
+
+    from texoo_spark.tablelog import TableLog
+    docs = (_load(spark, sf_dir, "documents", widen=False)
+            .filter(F.col("doc_id") < 300).select("doc_id", "text"))
+    t = TableLog(tempfile.mkdtemp(prefix="texoo_tablelog_"))
+    t.append(docs.filter(F.col("doc_id") % 3 == 0))
+    t.append(docs.filter(F.col("doc_id") % 3 == 1))
+    t.delete_where(spark, "doc_id % 2 = 0")
+    t.append(docs.filter(F.col("doc_id") % 3 == 2))
+    out = None
+    for label, v in [("v1", 1), ("v2", 2), ("v3", 3), ("latest", None)]:
+        lane = (t.read(spark, v)
+                .select(F.lit(label).alias("lane"), "doc_id",
+                        F.length("text").cast("long").alias("n_chars")))
+        out = lane if out is None else out.unionByName(lane)
+    return out
+
+
 def q_pdf_layout(spark, sf_dir):
     """PDF layout extraction, BOTH lanes in one probe:
 
@@ -1505,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_readers": q_mention_readers,  # conll + wned
         "serializer_roundtrip": q_serializer_roundtrip,  # + raw-text dir
         "pdf_layout": q_pdf_layout,
+        "table_snapshots": q_table_snapshots,
         # encoders / metrics
         "bow_vocab": q_bow_vocab,
         "classification_prf": q_classification_prf,
@@ -2097,6 +2131,21 @@ def oracle_sql() -> dict[str, str]:
             " COUNT(*) AS n_docs,"
             " MIN(doc_id) AS min_id, MAX(doc_id) AS max_id"
             " FROM b GROUP BY 1"),
+        "table_snapshots": (
+            # closed-form contents of each tablelog version: v1 append
+            # (%3=0), v2 append (%3=1), v3 copy-on-write delete (%2=0),
+            # v4/latest append (%3=2)
+            "WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS"
+            " n_chars FROM documents WHERE doc_id < 300)"
+            " SELECT 'v1' AS lane, doc_id, n_chars FROM b"
+            " WHERE doc_id % 3 = 0"
+            " UNION ALL SELECT 'v2' AS lane, doc_id, n_chars FROM b"
+            " WHERE doc_id % 3 IN (0, 1)"
+            " UNION ALL SELECT 'v3' AS lane, doc_id, n_chars FROM b"
+            " WHERE doc_id % 3 IN (0, 1) AND doc_id % 2 = 1"
+            " UNION ALL SELECT 'latest' AS lane, doc_id, n_chars FROM b"
+            " WHERE (doc_id % 3 IN (0, 1) AND doc_id % 2 = 1)"
+            " OR doc_id % 3 = 2"),
         "pdf_layout": (
             # boxes lane: lines 1-2 gap = 2, line 3 gap = 22 > 1.8 x
             # median(2) -> paragraph break before word 9 (pdfops.

@@ -1,0 +1,125 @@
+"""Transactional table-format tests: atomic snapshot commits, time
+travel, copy-on-write delete, and stats-based file skipping."""
+
+import json
+import os
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from texoo_spark.session import get_spark
+    s = get_spark("texoo-tablelog-tests", master="local[4]",
+                  shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS doc_id", "concat('text-', id) AS text").coalesce(1)
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    from texoo_spark.tablelog import TableLog
+    t = TableLog(str(tmp_path / "t"))
+    assert t.current_version() == 0
+    assert t.append(_mk(spark, 0, 10)) == 1
+    assert t.append(_mk(spark, 10, 20)) == 2
+    assert _ids(t.read(spark, 1)) == list(range(10))
+    assert _ids(t.read(spark)) == list(range(20))
+    assert [h["op"] for h in t.history()] == ["append", "append"]
+    assert [h["total_rows"] for h in t.history()] == [10, 20]
+
+
+def test_overwrite_replaces_file_list(spark, tmp_path):
+    from texoo_spark.tablelog import TableLog
+    t = TableLog(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 10))
+    t.overwrite(_mk(spark, 100, 105))
+    assert _ids(t.read(spark)) == list(range(100, 105))
+    assert _ids(t.read(spark, 1)) == list(range(10))  # history intact
+    assert len(t.snapshot()["files"]) == 1
+
+
+def test_delete_cow_prunes_untouched_files(spark, tmp_path):
+    """Footer-stats pruning: a range delete must carry disjoint files
+    over BY REFERENCE (identical path entries), rewriting only files
+    whose min/max may contain matches."""
+    from texoo_spark.tablelog import TableLog
+    t = TableLog(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 100))     # file A: doc_id 0..99
+    t.append(_mk(spark, 100, 200))   # file B: doc_id 100..199
+    before = {f["path"] for f in t.snapshot()["files"]}
+    t.delete_where(spark, "doc_id >= 150", prune=("doc_id", ">=", 150))
+    after = {f["path"] for f in t.snapshot()["files"]}
+    a_files = {f["path"] for f in t.snapshot(1)["files"]}
+    assert a_files <= after          # file A untouched, by reference
+    assert not (before - a_files) & after  # file B fully replaced
+    assert _ids(t.read(spark)) == list(range(150))
+    assert _ids(t.read(spark, 2)) == list(range(200))  # time travel
+
+
+def test_delete_without_prune_hint_rewrites_all(spark, tmp_path):
+    from texoo_spark.tablelog import TableLog
+    t = TableLog(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 20))
+    t.delete_where(spark, "doc_id % 2 = 0")
+    assert _ids(t.read(spark)) == list(range(1, 20, 2))
+
+
+def test_scan_file_skipping(spark, tmp_path):
+    from texoo_spark.tablelog import TableLog
+    t = TableLog(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 100))
+    t.append(_mk(spark, 100, 200))
+    skipped, scanned = t.pruned_counts("doc_id", "<", 50)
+    assert skipped >= 1 and scanned >= 1
+    assert _ids(t.scan(spark, "doc_id", "<", 50)) == list(range(50))
+    # equality prune on string column
+    t2 = TableLog(str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame(
+        [(1, "alpha")], "doc_id long, text string").coalesce(1))
+    t2.append(spark.createDataFrame(
+        [(2, "zeta")], "doc_id long, text string").coalesce(1))
+    skipped, scanned = t2.pruned_counts("text", "=", "zeta")
+    assert (skipped, scanned) == (1, 1)
+    assert _ids(t2.scan(spark, "text", "=", "zeta")) == [2]
+
+
+def test_optimistic_commit_skips_claimed_version(spark, tmp_path):
+    """A concurrent writer claiming the next version forces the retry
+    loop to recompute against the new head (the O_EXCL compare-and-swap
+    path)."""
+    from texoo_spark.tablelog import TableLog
+    t = TableLog(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 5))
+    # simulate another committer racing in: a valid v2 snapshot that
+    # keeps v1's files
+    v1 = t.snapshot(1)
+    fake = dict(v1, version=2, op="append")
+    with open(os.path.join(t.log_dir, "00000002.json"), "w") as f:
+        json.dump(fake, f)
+    assert t.append(_mk(spark, 5, 8)) == 3  # not 2
+    assert _ids(t.read(spark)) == list(range(8))
+
+
+def test_schema_rides_the_log(spark, tmp_path):
+    from texoo_spark.tablelog import TableLog
+    t = TableLog(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, 2.5, "x")], "doc_id long, score double, text string")
+    t.append(df.coalesce(1))
+    got = t.read(spark)
+    assert [(f.name, f.dataType.simpleString()) for f in got.schema.fields] \
+        == [("doc_id", "bigint"), ("score", "double"), ("text", "string")]
+    with pytest.raises(ValueError, match="no snapshots"):
+        TableLog(str(tmp_path / "empty")).read(spark)
