@@ -199,7 +199,8 @@ class TableLog:
                             if _may_match(f, *prune)]
             else:
                 affected = list(prev["files"])
-            kept = [f for f in prev["files"] if f not in affected]
+            hit = {f["path"] for f in affected}
+            kept = [f for f in prev["files"] if f["path"] not in hit]
             new_files: list[dict] = []
             schema_json = prev["schema"]
             if affected:
