@@ -467,14 +467,18 @@ def q_media_features(spark, sf_dir):
       happens downstream only for sampled rows). Every 3rd doc is a
       video at 250ms/word; join restricts to those.
     - lane 'decoded': REAL codec round trip. mediacodec.synth_media_payload
-      builds spec-conformant PNG / BMP / RIFF-WAV bytes per media_id (pixel
-      and sample values are a closed-form function of media_id) into an
-      opaque binary column; decode_media_stats parses the bytes back
-      through the real container grammar (PNG chunk walk + CRC + inflate +
-      per-row de-filtering incl. Sub/Up/Average/Paeth, BMP header + BGR
-      rows, RIFF chunk walk + PCM16) and reports value statistics. The
-      oracle states width/height/count/mean/first/last in closed form from
-      media_id — decoding bugs anywhere in the chain break the hash.
+      builds spec-conformant PNG / BMP / RIFF-WAV / baseline-JPEG bytes
+      per media_id (pixel and sample values are a closed-form function of
+      media_id) into an opaque binary column; decode_media_stats parses
+      the bytes back through the real codecs (PNG chunk walk + CRC +
+      inflate + per-row de-filtering incl. Sub/Up/Average/Paeth, BMP
+      header + BGR rows, RIFF chunk walk + PCM16, and for JPEG the full
+      T.81 baseline path: marker walk, DQT/DHT, Huffman entropy decode,
+      dequantize, IDCT — jpegcodec.py; flat-block quality-100 images make
+      the lossy format's round trip bit-exact) and reports value
+      statistics. The oracle states width/height/count/mean/first/last in
+      closed form from media_id — decoding bugs anywhere in the chain
+      break the hash.
 
     At scale the binary column is the real input (media fetched into the
     table); generation here is the hermetic stand-in, same strategy as
@@ -2019,32 +2023,40 @@ def oracle_sql() -> dict[str, str]:
             " greatest(len(string_split(text, ' ')) * 250 - 1, 0) + 1,"
             " 1000)) AS BIGINT) AS frame_ts_ms"
             " FROM documents WHERE doc_id % 3 = 0),"
-            # closed-form stats of mediacodec.synth_media_payload: images
-            # (kind 0 png / 1 bmp) are W=16*(1+g%2) x H=16*(1+g%3) x 3ch
-            # with px = (r*W+c+id%200)%256 (W*H a multiple of 256 -> mean
-            # exactly 127.5); audio (kind 2) is n=256*(8+g%5) PCM16
-            # samples s[i]=((i+id%128)%256-128)*16 -> mean exactly -8.
-            " geo AS (SELECT doc_id AS media_id, doc_id % 3 AS kind,"
-            " 16 * (1 + (doc_id // 3) % 2) AS w,"
-            " 16 * (1 + (doc_id // 3) % 3) AS h,"
-            " 256 * (8 + (doc_id // 3) % 5) AS n,"
+            # closed-form stats of mediacodec.synth_media_payload (g =
+            # id//4): images (kind 0 png / 1 bmp) are W=16*(1+g%2) x
+            # H=16*(1+g%3) x 3ch with px = (r*W+c+id%200)%256 (W*H a
+            # multiple of 256 -> mean exactly 127.5); audio (kind 2) is
+            # n=256*(8+g%5) PCM16 samples s[i]=((i+id%128)%256-128)*16
+            # -> mean exactly -8; jpeg (kind 3) is W x H GRAYSCALE with
+            # constant 8x8 blocks v(b)=(16b+id%200)%256 at quality 100 —
+            # the entropy-coded round trip is bit-exact, so the mean is
+            # the average over the (w/8)*(h/8) block values.
+            " geo AS (SELECT doc_id AS media_id, doc_id % 4 AS kind,"
+            " 16 * (1 + (doc_id // 4) % 2) AS w,"
+            " 16 * (1 + (doc_id // 4) % 3) AS h,"
+            " 256 * (8 + (doc_id // 4) % 5) AS n,"
             " doc_id % 200 AS mp, doc_id % 128 AS mq"
             " FROM documents WHERE doc_id < 120),"
             " dec AS (SELECT media_id,"
             " CASE kind WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'"
-            " ELSE 'audio/wav' END AS mime,"
-            " CAST(CASE WHEN kind < 2 THEN w ELSE n END AS INTEGER)"
+            " WHEN 2 THEN 'audio/wav' ELSE 'image/jpeg' END AS mime,"
+            " CAST(CASE WHEN kind = 2 THEN n ELSE w END AS INTEGER)"
             " AS width,"
-            " CAST(CASE WHEN kind < 2 THEN h ELSE 1 END AS INTEGER)"
+            " CAST(CASE WHEN kind = 2 THEN 1 ELSE h END AS INTEGER)"
             " AS height,"
-            " CAST(CASE WHEN kind < 2 THEN w * h * 3 ELSE n END AS BIGINT)"
-            " AS v_count,"
-            " CASE WHEN kind < 2 THEN 127.5 ELSE -8.0 END AS v_mean,"
-            " CASE WHEN kind < 2 THEN CAST(mp AS DOUBLE)"
-            " ELSE (mq - 128) * 16.0 END AS v_first,"
+            " CAST(CASE WHEN kind < 2 THEN w * h * 3 WHEN kind = 2 THEN n"
+            " ELSE w * h END AS BIGINT) AS v_count,"
+            " CASE WHEN kind < 2 THEN 127.5 WHEN kind = 2 THEN -8.0"
+            " ELSE list_avg(list_transform(range((w // 8) * (h // 8)),"
+            " b -> CAST((16 * b + mp) % 256 AS DOUBLE))) END AS v_mean,"
+            " CASE WHEN kind = 2 THEN (mq - 128) * 16.0"
+            " ELSE CAST(mp AS DOUBLE) END AS v_first,"
             " CASE WHEN kind < 2 THEN"
             " CAST(((h - 1) * w + w - 1 + mp) % 256 AS DOUBLE)"
-            " ELSE ((mq + 255) % 256 - 128) * 16.0 END AS v_last"
+            " WHEN kind = 2 THEN ((mq + 255) % 256 - 128) * 16.0"
+            " ELSE CAST((16 * ((w // 8) * (h // 8) - 1) + mp) % 256"
+            " AS DOUBLE) END AS v_last"
             " FROM geo)"
             " SELECT 'frames' AS lane, media_id, frame_ts_ms, sha256,"
             " n_bytes, CAST(NULL AS VARCHAR) AS mime,"

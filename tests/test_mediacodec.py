@@ -140,11 +140,11 @@ def test_wav_rejects_non_wav():
 # the SQL oracle states (the hermetic media_features 'decoded' lane)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("media_id", list(range(0, 36)) + [97, 113, 119])
+@pytest.mark.parametrize("media_id", list(range(0, 48)) + [97, 113, 119])
 def test_synth_payload_closed_form_stats(media_id):
     mime, payload = synth_media_payload(media_id)
     stats = decode_features(mime, payload)
-    kind, g = media_id % 3, media_id // 3
+    kind, g = media_id % 4, media_id // 4
     if kind in (0, 1):
         assert mime == ("image/png" if kind == 0 else "image/bmp")
         w, h = 16 * (1 + g % 2), 16 * (1 + g % 3)
@@ -153,7 +153,7 @@ def test_synth_payload_closed_form_stats(media_id):
         assert stats["v_mean"] == 127.5  # W*H multiple of 256: exact
         assert stats["v_first"] == media_id % 200
         assert stats["v_last"] == ((h - 1) * w + w - 1 + media_id % 200) % 256
-    else:
+    elif kind == 2:
         assert mime == "audio/wav"
         n = 256 * (8 + g % 5)
         assert (stats["width"], stats["height"]) == (n, 1)
@@ -161,6 +161,17 @@ def test_synth_payload_closed_form_stats(media_id):
         assert stats["v_mean"] == -8.0  # n multiple of 256: exact
         assert stats["v_first"] == (media_id % 128 - 128) * 16
         assert stats["v_last"] == ((media_id % 128 + 255) % 256 - 128) * 16
+    else:  # grayscale baseline JPEG, flat 8x8 blocks: bit-exact round trip
+        assert mime == "image/jpeg"
+        w, h = 16 * (1 + g % 2), 16 * (1 + g % 3)
+        nb = (w // 8) * (h // 8)
+        mp = media_id % 200
+        vals = [(16 * b + mp) % 256 for b in range(nb)]
+        assert (stats["width"], stats["height"]) == (w, h)
+        assert stats["v_count"] == w * h  # 1 channel
+        assert stats["v_mean"] == sum(vals) / nb
+        assert stats["v_first"] == vals[0]
+        assert stats["v_last"] == vals[-1]
 
 
 def test_decode_features_rejects_unknown_mime():
@@ -169,8 +180,10 @@ def test_decode_features_rejects_unknown_mime():
 
 
 def test_multimodal_dispatch():
-    """decode_image/decode_audio route magic bytes to the real codecs and
-    stay honest NotImplementedError for entropy-coded formats."""
+    """decode_image/decode_audio route magic bytes to the real codecs
+    (incl. baseline JPEG) and stay honest NotImplementedError for formats
+    with no hermetic codec."""
+    from texoo_spark.jpegcodec import make_jpeg
     from texoo_spark.multimodal import decode_audio, decode_image
     img = _grad(5, 4, 3)
     np.testing.assert_array_equal(decode_image(make_png(img)), img)
@@ -178,7 +191,10 @@ def test_multimodal_dispatch():
     s = np.arange(10, dtype=np.int16)
     np.testing.assert_array_equal(
         decode_audio(make_wav(s))[:, 0], s)
+    flat = np.full((8, 8), 77, np.uint8)
+    np.testing.assert_array_equal(
+        decode_image(make_jpeg(flat, quality=100))[:, :, 0], flat)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg magic")
+        decode_image(b"RIFFxxxxWEBP webp magic")
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3 mp3 magic bytes")

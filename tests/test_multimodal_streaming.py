@@ -18,11 +18,12 @@ def spark():
 
 
 def test_decode_unknown_formats_stay_stubbed():
-    """Entropy-coded formats stay honest NotImplementedError (PNG/BMP/WAV
-    now dispatch to the real stdlib codecs — tests/test_mediacodec.py)."""
+    """Formats without a hermetic codec stay honest NotImplementedError
+    (PNG/BMP/WAV/baseline-JPEG now dispatch to the real stdlib codecs —
+    tests/test_mediacodec.py, tests/test_jpegcodec.py)."""
     from texoo_spark.multimodal import decode_audio, decode_image
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg")
+        decode_image(b"RIFFxxxxWEBPVP8 ")
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3 mp3")
 
@@ -33,18 +34,22 @@ def test_decode_media_stats_spark(spark):
     from texoo_spark.mediacodec import synth_media_payload
     from texoo_spark.multimodal import decode_media_stats
     rows = []
-    for i in range(12):
+    for i in range(16):
         mime, payload = synth_media_payload(i)
         rows.append((i, mime, bytearray(payload)))
     media = spark.createDataFrame(
         rows, "media_id long, mime string, payload binary")
     got = {r.media_id: r for r in decode_media_stats(media).collect()}
-    assert len(got) == 12
-    for i in range(12):
+    assert len(got) == 16
+    for i in range(16):
         r = got[i]
-        if i % 3 == 2:
+        if i % 4 == 2:
             assert r.mime == "audio/wav" and r.height == 1
             assert r.v_mean == -8.0
+        elif i % 4 == 3:  # grayscale JPEG: exact flat-block round trip
+            assert r.mime == "image/jpeg"
+            assert r.v_count == r.width * r.height
+            assert r.v_first == float(i % 200)
         else:
             assert r.mime.startswith("image/")
             assert r.v_count == r.width * r.height * 3

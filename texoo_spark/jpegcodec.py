@@ -1,0 +1,566 @@
+"""Baseline-sequential JPEG codec (ITU-T T.81), stdlib+numpy only — the
+entropy-coded image format the r02/r03 codec deferral said needed an
+external library. It does not: baseline JPEG is Huffman + DCT, both
+implementable exactly from the public standard. Same hermetic strategy as
+mediacodec (reference semantics: TeXoo treats media as opaque byte columns;
+texoo-core Document attachments carry bytes + mime — the engine decodes at
+the multimodal seam, multimodal.py:48).
+
+Decoder (``decode_jpeg``) — a REAL decoder for the dominant interchange
+subset, not a fixture-replayer:
+
+- marker segment walk (SOI/APPn/COM skipped, DQT, DHT, SOF0, DRI, SOS);
+  clear errors for progressive (SOF2) / arithmetic / 12-bit inputs.
+- DQT in zigzag order, 8- and 16-bit precision; up to 4 tables.
+- DHT canonical code reconstruction per T.81 Annex C.
+- entropy-coded segment: bit reader with 0xFF00 unstuffing, restart
+  markers (DRI/RSTn) with DC-predictor reset, DC magnitude-category +
+  EXTEND, AC run/size with ZRL and EOB, T.81 F.2.2.
+- generic sampling factors (4:4:4, 4:2:0, 4:2:2, ...): MCU-interleaved
+  block placement, nearest-neighbor chroma upsample, edge crop.
+- dequantize -> inverse zigzag -> exact float64 IDCT (orthonormal 8x8
+  DCT matrix; no integer approximation) -> level shift -> clip.
+- BT.601 YCbCr -> RGB for 3-component scans; grayscale passthrough.
+
+Encoder (``make_jpeg``) — deterministic baseline JFIF writer used by
+fixtures and the hermetic media lane: Annex K quantization tables with
+the libjpeg quality scaling (quality=100 => all-ones tables), Annex K
+Huffman tables, optional 4:2:0 subsampling (2x2 box-filter chroma),
+optional restart intervals, byte stuffing, 1-padded flush.
+
+Exactness property used by the media_features oracle: an image whose
+8x8 blocks are each CONSTANT has only a DC coefficient (integer after
+the /4 normalization: DC = 8*(v-128)); with all-ones quantization the
+round trip is bit-exact, so a SQL oracle can state decoded pixel
+statistics in closed form. Arbitrary images round-trip within normal
+DCT quantization error (tested via PSNR).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Constants from the public standard (ITU-T T.81)
+# ---------------------------------------------------------------------------
+
+# Zigzag scan: ZZ[k] = raster index of the k-th zigzag position (Fig. 5)
+ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# Annex K.1 quantization tables (raster order)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL)
+DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+             list(range(12)))
+AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix M: forward F = M @ B @ M.T gives
+    exactly the T.81 A.3.3 definition; inverse is M.T @ F @ M."""
+    u = np.arange(8)[:, None].astype(np.float64)
+    x = np.arange(8)[None, :].astype(np.float64)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0, :] = np.sqrt(0.125)
+    return m
+
+
+_M = _dct_matrix()
+
+
+def _quality_table(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling (jcparam.c semantics, public): quality 50
+    = Annex K verbatim, 100 = all ones (lossless quantization)."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman per T.81 Annex C: symbol -> (size, code)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = k = 0
+    for size in range(1, 17):
+        for _ in range(bits[size - 1]):
+            out[vals[k]] = (size, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    return {(size, code): sym for sym, (size, code)
+            in _build_codes(bits, vals).items()}
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O (byte stuffing per B.1.1.5)
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, size: int) -> None:
+        if size == 0:
+            return
+        self.acc = (self.acc << size) | (code & ((1 << size) - 1))
+        self.n += size
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:           # stuff a zero after any FF data byte
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-padding per B.1.1.5
+
+
+class _BitReader:
+    """Entropy-segment reader: unstuffs FF00, stops (rather than reads
+    past) any real marker so restart handling stays explicit."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy-coded data")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) \
+                else 0xD9
+            if nxt != 0x00:
+                raise ValueError(
+                    f"hit marker FF{nxt:02X} inside entropy-coded data")
+            self.pos += 2
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def read_bits(self, size: int) -> int:
+        while self.n < size:
+            self._fill()
+        self.n -= size
+        v = (self.acc >> self.n) & ((1 << size) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def restart(self) -> None:
+        """Byte-align, consume an RSTn marker, drop bit state (E.2.4).
+        Unconsumed pad bits / stuffed FF00 bytes may sit between the last
+        coded bit and the marker — skip to the next true marker."""
+        self.acc = 0
+        self.n = 0
+        while self.pos + 1 < len(self.data) and not (
+                self.data[self.pos] == 0xFF
+                and self.data[self.pos + 1] != 0x00):
+            self.pos += 1
+        if self.pos + 1 >= len(self.data) or not (
+                0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+def _decode_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for size in range(1, 17):
+        code = (code << 1) | r.read_bits(1)
+        sym = table.get((size, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _receive_extend(r: _BitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = r.read_bits(s)
+    if v < (1 << (s - 1)):       # EXTEND, T.81 F.2.2.1
+        v -= (1 << s) - 1
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (H, W, C) uint8, C = 1 (grayscale) or 3
+    (RGB via BT.601). Raises ValueError on non-JPEG bytes or features
+    outside baseline sequential (progressive, arithmetic, 12-bit)."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}   # (class, id) -> decode table
+    frame = None                             # (H, W, comps)
+    restart_interval = 0
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG: ran out of marker segments")
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:                   # EOI before any scan
+            raise ValueError("JPEG has no scan data")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue                         # parameterless
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        if pos + seglen > len(data):
+            raise ValueError("truncated JPEG marker segment")
+        body = data[pos + 2:pos + seglen]
+        if marker == 0xDB:                   # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                n = 64 * (2 if pq else 1)
+                raw = (np.frombuffer(body, ">u2", 64, i + 1) if pq
+                       else np.frombuffer(body, np.uint8, 64, i + 1))
+                qt = np.zeros(64, np.int32)
+                qt[ZZ] = raw                 # DQT bodies are zigzag order
+                qts[tq] = qt
+                i += 1 + n
+        elif marker == 0xC4:                 # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                huff[(tc, th)] = _decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG type SOF{marker - 0xC0}: only baseline"
+                " sequential Huffman is implemented")
+        elif marker == 0xDD:                 # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:                 # SOS -> entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cid, tda = body[1 + 2 * c:3 + 2 * c]
+                comp = next(x for x in frame[2] if x["id"] == cid)
+                scan.append((comp, tda >> 4, tda & 15))
+            return _decode_scan(data, pos + seglen, frame, scan, qts,
+                                huff, restart_interval)
+        # all other segments (APPn, COM) are skipped
+        pos += seglen
+    raise ValueError("unreachable")
+
+
+def _decode_scan(data, pos, frame, scan, qts, huff, restart_interval):
+    h, w, _ = frame
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcux = (w + mcu_w - 1) // mcu_w
+    mcuy = (h + mcu_h - 1) // mcu_h
+    planes = []
+    for comp, _, _ in scan:
+        planes.append(np.zeros((mcuy * comp["v"] * 8, mcux * comp["h"] * 8),
+                               dtype=np.float64))
+    r = _BitReader(data, pos)
+    preds = [0] * len(scan)
+    since_restart = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and since_restart == restart_interval:
+                r.restart()
+                preds = [0] * len(scan)
+                since_restart = 0
+            for ci, (comp, td, ta) in enumerate(scan):
+                dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
+                qt = qts[comp["tq"]].reshape(8, 8)
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coef = np.zeros(64, np.int32)
+                        s = _decode_huff(r, dc_tbl)
+                        preds[ci] += _receive_extend(r, s)
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(r, ac_tbl)
+                            run, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if run == 15:      # ZRL
+                                    k += 16
+                                    continue
+                                break              # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index out of range")
+                            coef[ZZ[k]] = _receive_extend(r, size)
+                            k += 1
+                        block = _M.T @ (coef.reshape(8, 8) * qt) @ _M
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+            since_restart += 1
+    out = []
+    for (comp, _, _), plane in zip(scan, planes):
+        up = np.repeat(np.repeat(plane, vmax // comp["v"], axis=0),
+                       hmax // comp["h"], axis=1)
+        out.append(up[:h, :w] + 128.0)
+    if len(out) == 1:
+        gray = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _dht_body(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
+    bits, vals = table
+    return bytes([tc << 4 | th] + bits + vals)
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    diff = int(zz[0]) - pred
+    s = int(abs(diff)).bit_length()
+    size, code = dc_codes[s]
+    bw.write(code, size)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            size, code = ac_codes[0xF0]      # ZRL
+            bw.write(code, size)
+            run -= 16
+        s = int(abs(v)).bit_length()
+        size, code = ac_codes[run << 4 | s]
+        bw.write(code, size)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        size, code = ac_codes[0x00]          # EOB
+        bw.write(code, size)
+    return int(zz[0])
+
+
+def _pad_to_blocks(plane: np.ndarray, by: int, bx: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (h + by - 1) // by * by
+    pw = (w + bx - 1) // bx * bx
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def make_jpeg(img: np.ndarray, quality: int = 90,
+              subsample: tuple[int, int] = (1, 1),
+              restart_interval: int = 0) -> bytes:
+    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 as baseline JFIF.
+    ``subsample=(2, 2)`` emits 4:2:0 chroma (2x2 box filter);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs. quality=100 uses all-ones quantization (bit-exact for images
+    whose 8x8 blocks are constant)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2 or img.shape[2] == 1
+    sh, sv = (1, 1) if gray else subsample
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError("subsample factors must be 1 or 2")
+    h, w = img.shape[:2]
+    qt_l = _quality_table(QT_LUMA, quality)
+    qt_c = _quality_table(QT_CHROMA, quality)
+
+    if gray:
+        planes = [img.reshape(h, w).astype(np.float64) - 128.0]
+        comp_geom = [(1, 1, 0)]              # (h, v, qt id)
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        if (sh, sv) != (1, 1):
+            ph, pw = (h + sv - 1) // sv * sv, (w + sh - 1) // sh * sh
+            cb = _pad_to_blocks(cb, sv, sh)[:ph, :pw]
+            cr = _pad_to_blocks(cr, sv, sh)[:ph, :pw]
+            cb = cb.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+            cr = cr.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+        planes = [y - 0.0, cb, cr]
+        planes[0] -= 128.0                   # level shift luma only
+        comp_geom = [(sh, sv, 0), (1, 1, 1), (1, 1, 1)]
+
+    hmax = max(gh for gh, _, _ in comp_geom)
+    vmax = max(gv for _, gv, _ in comp_geom)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for plane, (gh, gv, _) in zip(planes, comp_geom):
+        target_h, target_w = mcuy * gv * 8, mcux * gh * 8
+        p = _pad_to_blocks(plane, 8, 8)
+        p = np.pad(p, ((0, target_h - p.shape[0]),
+                       (0, target_w - p.shape[1])), mode="edge")
+        padded.append(p)
+
+    dc_l, ac_l = _build_codes(*DC_LUMA), _build_codes(*AC_LUMA)
+    dc_c, ac_c = _build_codes(*DC_CHROMA), _build_codes(*AC_CHROMA)
+    bw = _BitWriter()
+    preds = [0] * len(padded)
+    since = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and since == restart_interval:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(padded)
+                since = 0
+            for ci, (plane, (gh, gv, tq)) in enumerate(
+                    zip(padded, comp_geom)):
+                qt = (qt_l if tq == 0 else qt_c).reshape(8, 8)
+                dc, ac = (dc_l, ac_l) if tq == 0 else (dc_c, ac_c)
+                for by in range(gv):
+                    for bx in range(gh):
+                        y0 = (my * gv + by) * 8
+                        x0 = (mx * gh + bx) * 8
+                        block = plane[y0:y0 + 8, x0:x0 + 8]
+                        coef = np.round((_M @ block @ _M.T) / qt
+                                        ).astype(np.int32)
+                        preds[ci] = _encode_block(
+                            bw, coef.reshape(-1)[ZZ], preds[ci], dc, ac)
+            since += 1
+    bw.flush()
+
+    out = bytearray(b"\xFF\xD8")             # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00"
+                + struct.pack(">HHBB", 1, 1, 0, 0))
+    zz_l = bytes(qt_l[ZZ].astype(np.uint8))
+    out += _seg(0xDB, b"\x00" + zz_l)
+    if not gray:
+        out += _seg(0xDB, b"\x01" + bytes(qt_c[ZZ].astype(np.uint8)))
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, (gh, gv, tq) in enumerate(comp_geom):
+        sof += bytes([i + 1, gh << 4 | gv, tq])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, _dht_body(0, 0, DC_LUMA))
+    out += _seg(0xC4, _dht_body(1, 0, AC_LUMA))
+    if not gray:
+        out += _seg(0xC4, _dht_body(0, 1, DC_CHROMA))
+        out += _seg(0xC4, _dht_body(1, 1, AC_CHROMA))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for i in range(nc):
+        td_ta = 0x00 if i == 0 else 0x11
+        sos += bytes([i + 1, td_ta])
+    sos += b"\x00\x3F\x00"
+    out += _seg(0xDA, sos)
+    out += bw.buf
+    out += b"\xFF\xD9"                       # EOI
+    return bytes(out)
+
+
+def make_flat_block_jpeg(values: np.ndarray, block: int = 8) -> bytes:
+    """Encode an image whose 8x8 blocks are each the constant uint8 value
+    ``values[by, bx]`` at quality 100 — the bit-exact round-trip input
+    the media_features oracle states in closed form."""
+    img = np.repeat(np.repeat(np.asarray(values, np.uint8), block, axis=0),
+                    block, axis=1)
+    return make_jpeg(img, quality=100)

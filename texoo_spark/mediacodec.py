@@ -26,8 +26,11 @@ Writers (deterministic, used by fixtures and the hermetic query input):
 - make_bmp emits bottom-up 24-bit BI_RGB with row padding.
 - make_wav emits PCM16 mono.
 
-JPEG/MP3/MP4 remain honestly out of scope (entropy-coded codecs; plug a
-real library into multimodal.decode_image on a cluster that has one).
+Baseline JPEG (the entropy-coded image format) lives in
+texoo_spark.jpegcodec — a real T.81 Huffman+DCT decoder/encoder.
+MP3/MP4 remain honestly out of scope (psychoacoustic / container codecs;
+plug a real library into multimodal.decode_audio on a cluster that has
+one).
 """
 
 from __future__ import annotations
@@ -261,27 +264,41 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 def synth_media_payload(media_id: int) -> tuple[str, bytes]:
     """(mime, payload) for one media_id. Pixel/sample rules (m' = id%200,
-    m'' = id%128):
+    m'' = id%128, g = id//4):
 
-    - image (id%3 in {0 png, 1 bmp}): W = 16*(1+(id//3)%2),
-      H = 16*(1+(id//3)%3), px(r,c,ch) = (r*W + c + m') % 256 for every
-      channel. W*H is a multiple of 256, so mean(px) = 127.5 exactly.
-    - audio (id%3 == 2): n = 256*(8+(id//3)%5) PCM16 samples at 8 kHz,
+    - image (id%4 in {0 png, 1 bmp}): W = 16*(1+g%2), H = 16*(1+g%3),
+      px(r,c,ch) = (r*W + c + m') % 256 for every channel. W*H is a
+      multiple of 256, so mean(px) = 127.5 exactly.
+    - audio (id%4 == 2): n = 256*(8+g%5) PCM16 samples at 8 kHz,
       s[i] = ((i + m'') % 256 - 128) * 16; mean(s) = -8.0 exactly.
+    - jpeg (id%4 == 3): same W x H geometry, GRAYSCALE, each 8x8 block
+      the constant value v(b) = (16*b + m') % 256 (b = row-major block
+      index), encoded at quality 100 (all-ones quantization) — the
+      entropy-coded round trip is bit-exact (jpegcodec module
+      docstring), so mean/first/last stay closed-form: first = m',
+      last = v(nb-1), mean = avg_b v(b).
     """
-    kind = media_id % 3
+    kind = media_id % 4
+    g = media_id // 4
     if kind in (0, 1):
-        w = 16 * (1 + (media_id // 3) % 2)
-        h = 16 * (1 + (media_id // 3) % 3)
+        w = 16 * (1 + g % 2)
+        h = 16 * (1 + g % 3)
         base = (np.arange(h)[:, None] * w + np.arange(w)[None, :]
                 + media_id % 200) % 256
         img = np.repeat(base[:, :, None], 3, axis=2).astype(np.uint8)
         if kind == 0:
             return "image/png", make_png(img)
         return "image/bmp", make_bmp(img)
-    n = 256 * (8 + (media_id // 3) % 5)
-    s = ((np.arange(n) + media_id % 128) % 256 - 128) * 16
-    return "audio/wav", make_wav(s.astype(np.int16))
+    if kind == 2:
+        n = 256 * (8 + g % 5)
+        s = ((np.arange(n) + media_id % 128) % 256 - 128) * 16
+        return "audio/wav", make_wav(s.astype(np.int16))
+    from texoo_spark.jpegcodec import make_flat_block_jpeg
+    w = 16 * (1 + g % 2)
+    h = 16 * (1 + g % 3)
+    vals = ((np.arange((h // 8) * (w // 8)) * 16 + media_id % 200)
+            % 256).reshape(h // 8, w // 8)
+    return "image/jpeg", make_flat_block_jpeg(vals)
 
 
 def decode_features(mime: str, payload: bytes) -> dict:
@@ -293,6 +310,9 @@ def decode_features(mime: str, payload: bytes) -> dict:
         arr = decode_png(payload)
     elif mime == "image/bmp":
         arr = decode_bmp(payload)
+    elif mime == "image/jpeg":
+        from texoo_spark.jpegcodec import decode_jpeg
+        arr = decode_jpeg(payload)
     elif mime == "audio/wav":
         samples, rate = decode_wav(payload)
         flat = samples.reshape(-1).astype(np.float64)

@@ -50,18 +50,22 @@ FEATURE_SCHEMA = StructType([
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image payload bytes -> (H, W, C) uint8 via the stdlib-only codecs
-    (PNG and BMP, dispatched on magic bytes). Entropy-coded formats (JPEG,
-    WebP, ...) need a codec library not present in this environment; plug
-    PIL/opencv in here on a real cluster."""
+    """Image payload bytes -> (H, W, C) uint8 via the stdlib+numpy codecs
+    (PNG, BMP, baseline JPEG — dispatched on magic bytes). Formats beyond
+    those (WebP, AVIF, progressive JPEG, ...) need a codec library not
+    present in this environment; plug PIL/opencv in here on a real
+    cluster."""
     from texoo_spark import mediacodec
     if payload[:8] == mediacodec.PNG_SIG:
         return mediacodec.decode_png(payload)
     if payload[:2] == b"BM":
         return mediacodec.decode_bmp(payload)
+    if payload[:2] == b"\xFF\xD8":
+        from texoo_spark.jpegcodec import decode_jpeg
+        return decode_jpeg(payload)
     raise NotImplementedError(
         "no codec for this image format in this environment "
-        "(stdlib codecs cover PNG and BMP)")
+        "(stdlib codecs cover PNG, BMP and baseline JPEG)")
 
 
 def decode_audio(payload: bytes) -> np.ndarray:
