@@ -90,3 +90,19 @@ def test_trained_tagger_generalizes_capitalization():
     assert spans == []
     spans = tagger.tag_tokens(["LONDON", "beat", "them"], [3])
     assert [s[:2] for s in spans] == [(0, 1)]
+
+
+def test_sparse_forward_matches_dense():
+    """The gather+segment-sum forward must reproduce the dense matmul
+    path: identical spans on the fixture, probabilities equal to within
+    float summation reordering."""
+    import numpy as np
+    from texoo_spark.tagger import conll_fixture_examples, train_conll_tagger
+    tagger, _enc = train_conll_tagger()
+    for toks, _tags, bounds in conll_fixture_examples()[:8]:
+        if not toks:
+            continue
+        dense = tagger.forward(tagger.featurize(toks))
+        sparse = tagger._sparse_probs(tagger.featurizer.indices(toks))
+        np.testing.assert_allclose(sparse, dense, rtol=0, atol=1e-12)
+        assert np.array_equal(sparse.argmax(1), dense.argmax(1))

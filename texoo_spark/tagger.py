@@ -61,6 +61,30 @@ class LinearTagger:
         return np.vstack([surface_features(t) for t in tokens]
                          ).astype(np.float64)
 
+    def _sparse_probs(self, idx_list: list[np.ndarray]) -> np.ndarray:
+        """Softmax probs from active-feature index lists. The features are
+        0/1 flags, so logits are sums of weight ROWS: gather + segment-sum
+        instead of materializing a dense [T x F] matrix (at F ~ thousands
+        of trigrams the dense path is >50x wasted FLOPs — and wasted
+        executor memory bandwidth at scale). A dummy all-zero weight row
+        appended per token keeps np.add.reduceat correct for tokens with
+        zero active features."""
+        w_aug = getattr(self, "_w_aug", None)
+        if w_aug is None:
+            w_aug = self._w_aug = np.vstack(
+                [self.weights, np.zeros((1, len(TAGS)))])
+        dummy = self.weights.shape[0]
+        flat = np.concatenate(
+            [np.append(a, dummy) for a in idx_list]).astype(np.int64)
+        lens = np.fromiter((len(a) + 1 for a in idx_list), np.int64,
+                           count=len(idx_list))
+        starts = np.zeros(len(idx_list), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        logits = np.add.reduceat(w_aug[flat], starts, axis=0) + self.bias
+        logits -= logits.max(axis=1, keepdims=True)
+        e = np.exp(logits)
+        return e / e.sum(axis=1, keepdims=True)
+
     @classmethod
     def capitalized_mention_baseline(cls) -> "LinearTagger":
         """A deterministic weight set tagging capitalized words as mentions
@@ -88,8 +112,11 @@ class LinearTagger:
         """Token texts -> mention spans (tok_start, tok_end, label, conf)."""
         if not tokens:
             return []
-        feats = self.featurize(tokens)
-        probs = self.forward(feats)
+        indices = getattr(self.featurizer, "indices", None)
+        if indices is not None:
+            probs = self._sparse_probs(indices(tokens))
+        else:
+            probs = self.forward(self.featurize(tokens))
         best = probs.argmax(axis=1)
         tags = [TAGS[i] for i in best]
         confs = [float(probs[i, j]) for i, j in enumerate(best)]
@@ -137,9 +164,9 @@ def make_surface_trigram_featurizer(ngram_encoder,
     n_features = SURFACE_SIZE + ngram_encoder.size
     cache: dict[str, np.ndarray] = {}
 
-    def featurize(tokens: list[str]) -> np.ndarray:
-        out = np.zeros((len(tokens), n_features), dtype=np.float64)
-        for i, t in enumerate(tokens):
+    def indices(tokens: list[str]) -> list[np.ndarray]:
+        out = []
+        for t in tokens:
             idx = cache.get(t)
             if idx is None:
                 if len(cache) >= max_cache_entries:
@@ -148,8 +175,16 @@ def make_surface_trigram_featurizer(ngram_encoder,
                 tri = np.flatnonzero(ngram_encoder.encode(t)) + SURFACE_SIZE
                 idx = np.concatenate([surf, tri])
                 cache[t] = idx
+            out.append(idx)
+        return out
+
+    def featurize(tokens: list[str]) -> np.ndarray:
+        out = np.zeros((len(tokens), n_features), dtype=np.float64)
+        for i, idx in enumerate(indices(tokens)):
             out[i, idx] = 1.0
         return out
+
+    featurize.indices = indices
     return featurize
 
 
