@@ -1673,14 +1673,17 @@ def _tagged_trained_oracle() -> str:
     s_cap_multi = w[0]             # startsUpper
     s_cap_single = w[0] + w[2]     # startsUpper + allUpper
     tri = {g: w[SURFACE_SIZE + i] for g, i in enc.vocab.items()}
+    # trigram weights as a VALUES relation + hash join: a MAP literal
+    # inside a list_transform lambda is rebuilt on EVERY evaluation
+    # (~100x slower, times out at sf0.1 — same lesson as the langid
+    # oracle); a join against a one-time relation scales linearly.
+    tw_rows = ", ".join(
+        "('%s', CAST(%r AS DOUBLE), CAST(%r AS DOUBLE),"
+        " CAST(%r AS DOUBLE))" % (g.replace("'", "''"), float(v[0]),
+                                  float(v[1]), float(v[2]))
+        for g, v in tri.items())
 
-    def wmap(c: int) -> str:
-        entries = ", ".join(
-            "'%s': CAST(%r AS DOUBLE)" % (g.replace("'", "''"), float(v[c]))
-            for g, v in tri.items())
-        return "MAP {%s}" % entries
-
-    def score(c: int) -> str:
+    def score(c: int, tsum: str) -> str:
         return (
             f"CAST({float(b[c])!r} AS DOUBLE)"
             f" + CASE WHEN regexp_matches(tok, '^[A-Z]') THEN"
@@ -1688,11 +1691,11 @@ def _tagged_trained_oracle() -> str:
             f" CAST({float(s_cap_single[c])!r} AS DOUBLE)"
             f" ELSE CAST({float(s_cap_multi[c])!r} AS DOUBLE) END"
             f" ELSE CAST({float(s_lower[c])!r} AS DOUBLE) END"
-            f" + COALESCE(list_sum(list_transform(tris, tg ->"
-            f" COALESCE(({wmap(c)})[tg][1], 0.0))), 0.0)")
+            f" + {tsum}")
 
     return (
-        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w"
+        f"WITH tw (tg, w_o, w_b, w_i) AS (VALUES {tw_rows}),"
+        " d AS (SELECT doc_id, string_split(text, ' ') AS w"
         " FROM documents WHERE regexp_matches(text, '^[a-z ]+$')),"
         " tk0 AS (SELECT doc_id, unnest(w) AS tok0,"
         " unnest(range(1, len(w) + 1)) AS ti FROM d),"
@@ -1703,8 +1706,17 @@ def _tagged_trained_oracle() -> str:
         " tr AS (SELECT doc_id, ti, tok, list_distinct(list_transform("
         " range(1, length('#' || lower(tok) || '#') - 1),"
         " gi -> ('#' || lower(tok) || '#')[gi : gi + 2])) AS tris FROM tk),"
-        f" sc AS (SELECT doc_id, ti, {score(0)} AS s_o, {score(1)} AS s_b,"
-        f" {score(2)} AS s_i FROM tr),"
+        # every padded token has >=1 trigram, so the per-trigram unnest
+        # keeps every (doc_id, ti) group; unmatched trigrams contribute 0
+        " trx AS (SELECT doc_id, ti, tok, unnest(tris) AS tg FROM tr),"
+        " tsum AS (SELECT doc_id, ti, tok,"
+        " COALESCE(SUM(tw.w_o), 0.0) AS t_o,"
+        " COALESCE(SUM(tw.w_b), 0.0) AS t_b,"
+        " COALESCE(SUM(tw.w_i), 0.0) AS t_i"
+        " FROM trx LEFT JOIN tw USING (tg)"
+        " GROUP BY doc_id, ti, tok),"
+        f" sc AS (SELECT doc_id, ti, {score(0, 't_o')} AS s_o,"
+        f" {score(1, 't_b')} AS s_b, {score(2, 't_i')} AS s_i FROM tsum),"
         " tg AS (SELECT doc_id, ti, CASE WHEN s_o >= s_b AND s_o >= s_i"
         " THEN 'O' WHEN s_b >= s_i THEN 'B' ELSE 'I' END AS tag FROM sc),"
         " sp AS (SELECT doc_id, tag, LAG(tag) OVER (PARTITION BY doc_id"
