@@ -63,9 +63,12 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:2] == b"\xFF\xD8":
         from texoo_spark.jpegcodec import decode_jpeg
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from texoo_spark.gifcodec import decode_gif
+        return decode_gif(payload)
     raise NotImplementedError(
         "no codec for this image format in this environment "
-        "(stdlib codecs cover PNG, BMP and baseline JPEG)")
+        "(stdlib codecs cover PNG, BMP, GIF and baseline JPEG)")
 
 
 def decode_audio(payload: bytes) -> np.ndarray:
