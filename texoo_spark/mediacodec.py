@@ -26,11 +26,11 @@ Writers (deterministic, used by fixtures and the hermetic query input):
 - make_bmp emits bottom-up 24-bit BI_RGB with row padding.
 - make_wav emits PCM16 mono.
 
-Baseline JPEG (the entropy-coded image format) lives in
-texoo_spark.jpegcodec — a real T.81 Huffman+DCT decoder/encoder.
-MP3/MP4 remain honestly out of scope (psychoacoustic / container codecs;
-plug a real library into multimodal.decode_audio on a cluster that has
-one).
+The entropy-coded image formats live in sibling modules: baseline JPEG
+in texoo_spark.jpegcodec (T.81 Huffman+DCT) and GIF in
+texoo_spark.gifcodec (variable-width LZW). MP3/MP4 remain honestly out
+of scope (psychoacoustic / container codecs; plug a real library into
+multimodal.decode_audio on a cluster that has one).
 """
 
 from __future__ import annotations
