@@ -143,7 +143,9 @@ def main():
                   "minhash_near_dups", "quality_scores",
                   # round-2 lanes
                   "contamination", "passage_retrieval", "unigram_surprisal",
-                  "tagged_mentions_trained", "segmentation_metrics"]
+                  "tagged_mentions_trained", "segmentation_metrics",
+                  # round-3 lane: real-codec decode (PNG/BMP/WAV/JPEG)
+                  "media_features"]
     for name in headliners:
         fn = qfns[name]
         t0 = time.perf_counter()

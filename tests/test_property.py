@@ -153,3 +153,36 @@ def test_words_to_text_round_trip_offsets(words):
     toks2 = tokens_from_tokenized_text(recon)
     recon2 = textops.tokens_to_text(toks2, toks2[0].begin if toks2 else 0)
     assert recon2 == recon
+
+
+# ---------------------------------------------------------------------------
+# Codec cores: lossless round trips under arbitrary inputs
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=100, deadline=None, derandomize=True)
+@given(st.binary(min_size=0, max_size=2000),
+       st.integers(min_value=2, max_value=8))
+def test_lzw_roundtrip_arbitrary_bytes(data, min_code_size):
+    """GIF-variant LZW must invert exactly for any byte stream whose
+    symbols fit the alphabet (masked into range)."""
+    from texoo_spark.gifcodec import lzw_decode, lzw_encode
+    symbols = bytes(b % (1 << min_code_size) for b in data)
+    assert bytes(lzw_decode(lzw_encode(symbols, min_code_size),
+                            min_code_size)) == symbols
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=255),
+                         min_size=1, max_size=4),
+                min_size=1, max_size=4).filter(
+                    lambda rows: len({len(r) for r in rows}) == 1))
+def test_jpeg_flat_blocks_roundtrip_exact(grid):
+    """Flat-8x8-block images at quality 100 are bit-exact through the
+    entropy-coded JPEG round trip — the invariant the media_features
+    oracle's closed forms rely on."""
+    import numpy as np
+    from texoo_spark.jpegcodec import decode_jpeg, make_flat_block_jpeg
+    vals = np.asarray(grid, dtype=np.uint8)
+    out = decode_jpeg(make_flat_block_jpeg(vals))[:, :, 0]
+    np.testing.assert_array_equal(
+        out, np.repeat(np.repeat(vals, 8, 0), 8, 1))

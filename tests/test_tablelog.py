@@ -123,3 +123,30 @@ def test_schema_rides_the_log(spark, tmp_path):
         == [("doc_id", "bigint"), ("score", "double"), ("text", "string")]
     with pytest.raises(ValueError, match="no snapshots"):
         TableLog(str(tmp_path / "empty")).read(spark)
+
+
+def test_compact_bin_packs_small_files(spark, tmp_path):
+    """compact() rewrites only sub-threshold files into ~target-sized
+    ones; big files carry over by reference; old versions still read."""
+    from texoo_spark.tablelog import TableLog
+    t = TableLog(str(tmp_path / "t"))
+    for i in range(4):                      # four 10-row micro-appends
+        t.append(_mk(spark, i * 10, (i + 1) * 10).coalesce(1))
+    t.append(_mk(spark, 40, 140).coalesce(1))   # one 100-row file
+    before = t.snapshot()
+    big = [f["path"] for f in before["files"] if f["rows"] >= 50]
+    assert len(before["files"]) == 5 and len(big) == 1
+
+    v = t.compact(spark, target_rows_per_file=40, small_file_rows=50)
+    snap = t.snapshot(v)
+    assert snap["op"] == "compact"
+    assert snap["total_rows"] == 140
+    # the big file survives BY REFERENCE (same path), small ones merged
+    assert big[0] in {f["path"] for f in snap["files"]}
+    packed = [f for f in snap["files"] if f["path"] != big[0]]
+    assert len(packed) == 1 and packed[0]["rows"] == 40
+    assert _ids(t.read(spark)) == list(range(140))
+    # time travel to the pre-compaction version still works
+    assert _ids(t.read(spark, version=before["version"])) == list(range(140))
+    # nothing left to compact: no-op returns current version
+    assert t.compact(spark, target_rows_per_file=40, small_file_rows=50) == v

@@ -216,6 +216,47 @@ class TableLog:
             except FileExistsError:
                 continue
 
+    def compact(self, spark: SparkSession,
+                target_rows_per_file: int = 1 << 20,
+                small_file_rows: int | None = None) -> int:
+        """Bin-pack small data files into ~target-sized ones (the
+        Iceberg rewrite_data_files / Delta OPTIMIZE analogue). Repeated
+        appends — especially streaming micro-batches — accumulate files
+        far below the scan-efficient size; planning cost and task count
+        are O(files), so compaction is what keeps a frequently-appended
+        table readable at scale.
+
+        Only files with < ``small_file_rows`` rows (default: half the
+        target) are rewritten, in ONE distributed job coalesced to
+        ceil(rows/target) output files; large files carry over by
+        reference. The commit is the same optimistic CAS as every other
+        op — readers of older versions still see the original files
+        (snapshots are immutable; garbage collection of unreferenced
+        files is a separate concern, as in Iceberg)."""
+        small_file_rows = (target_rows_per_file // 2
+                           if small_file_rows is None else small_file_rows)
+        while True:
+            base = self.current_version()
+            prev = self.snapshot(base)
+            small = [f for f in prev["files"]
+                     if f["rows"] < small_file_rows]
+            if len(small) < 2:
+                return base                  # nothing to gain
+            keep = [f for f in prev["files"] if f["rows"] >= small_file_rows]
+            total = sum(f["rows"] for f in small)
+            n_out = max(1, -(-total // target_rows_per_file))
+            packed = (spark.read.schema(
+                StructType.fromJson(json.loads(prev["schema"])))
+                .parquet(*[os.path.join(self.path, f["path"])
+                           for f in small])
+                .coalesce(n_out))
+            new_files, schema_json = self._write_files(packed)
+            try:
+                return self._commit(keep + new_files, "compact",
+                                    schema_json, base)
+            except FileExistsError:
+                continue
+
     # -- read ops -----------------------------------------------------
 
     def _read_files(self, spark: SparkSession, snap: dict,

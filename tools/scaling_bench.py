@@ -190,12 +190,13 @@ N-vs-4N separate executors would not pay. "norm" = median / ceiling.
     for n_small, group in sorted(by_pair.items()):
         lines.append(f"\n## local[{n_small}] -> local[{4 * n_small}] "
                      f"({len(group)} session{'s' if len(group) > 1 else ''})\n")
-        lines.append("| window (UTC) | N runs (sec) | 4N runs (sec) | "
+        lines.append("| window (UTC) | turns | N runs (sec) | 4N runs (sec) | "
                      "eff median | eff min | ceiling | norm |")
-        lines.append("|---|---|---|---|---|---|---|")
+        lines.append("|---|---|---|---|---|---|---|---|")
         for s in group:
             lines.append(
                 f"| {s.get('window_utc', '-')} "
+                f"| {s['n_turns'] // 1000}k "
                 f"| {s['small']['runs_sec']} | {s['large']['runs_sec']} "
                 f"| **{s['scaling_efficiency_median']:.3f}** "
                 f"| {s['scaling_efficiency_min']:.3f} "
