@@ -150,3 +150,26 @@ def test_compact_bin_packs_small_files(spark, tmp_path):
     assert _ids(t.read(spark, version=before["version"])) == list(range(140))
     # nothing left to compact: no-op returns current version
     assert t.compact(spark, target_rows_per_file=40, small_file_rows=50) == v
+
+
+def test_vacuum_removes_expired_files_keeps_retained(spark, tmp_path):
+    """vacuum() deletes files referenced only by expired snapshots and
+    drops their snapshot JSONs; retained versions stay readable."""
+    from texoo_spark.tablelog import TableLog
+    t = TableLog(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 10).coalesce(1))
+    t.overwrite(_mk(spark, 10, 30).coalesce(1))  # v1's file now garbage
+    t.append(_mk(spark, 30, 35).coalesce(1))
+    n_parquet = lambda: sum(  # noqa: E731
+        1 for root, _, names in os.walk(t.data_dir)
+        for n in names if n.endswith(".parquet"))
+    assert n_parquet() == 3
+    deleted, expired = t.vacuum(retain_last=2)
+    assert (deleted, expired) == (1, 1)          # v1's file + v1's json
+    assert n_parquet() == 2
+    assert _ids(t.read(spark)) == list(range(10, 35))
+    assert _ids(t.read(spark, version=2)) == list(range(10, 30))
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(1)                            # expired: no time travel
+    # idempotent: nothing more to delete
+    assert t.vacuum(retain_last=2) == (0, 0)

@@ -257,6 +257,48 @@ class TableLog:
             except FileExistsError:
                 continue
 
+    def vacuum(self, retain_last: int = 1) -> tuple[int, int]:
+        """Delete data files referenced by NO retained snapshot and drop
+        the expired snapshot JSONs (Iceberg expire_snapshots + Delta
+        VACUUM in one). ``retain_last`` snapshots stay time-travelable.
+        Returns (files deleted, snapshots expired).
+
+        Safety model (same as the catalog systems'): committed snapshots
+        are immutable, so the live-file union of retained snapshots is
+        exact; in-flight writers only ever ADD files under fresh
+        commit-<uuid> dirs and reference them AFTER a successful CAS, so
+        a file not referenced by any retained snapshot can only belong
+        to an expired version or an abandoned write — never to a future
+        commit. Uncommitted-yet dirs newer than the newest retained
+        snapshot are left alone (they may belong to an in-flight
+        append); only files referenced exclusively by expired snapshots
+        plus orphans older than the retained history are removed."""
+        versions = self._versions()
+        if not versions:
+            return 0, 0
+        retained = versions[-max(retain_last, 1):]
+        expired = [v for v in versions if v not in retained]
+        live = {f["path"] for v in retained
+                for f in self.snapshot(v)["files"]}
+        expired_refs = {f["path"] for v in expired
+                        for f in self.snapshot(v)["files"]}
+        doomed = expired_refs - live
+        for rel in sorted(doomed):
+            try:
+                os.remove(os.path.join(self.path, rel))
+            except FileNotFoundError:
+                pass
+        # drop now-empty commit dirs and the expired snapshot files
+        for rel in sorted(doomed):
+            d = os.path.dirname(os.path.join(self.path, rel))
+            try:
+                os.rmdir(d)
+            except OSError:
+                pass                         # still holds live files
+        for v in expired:
+            os.remove(os.path.join(self.log_dir, f"{v:08d}.json"))
+        return len(doomed), len(expired)
+
     # -- read ops -----------------------------------------------------
 
     def _read_files(self, spark: SparkSession, snap: dict,
