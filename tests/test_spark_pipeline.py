@@ -291,3 +291,45 @@ def test_arrow_lane_edge_rows(spark):
     r4 = out[4]
     for b, e in zip(r4.tok_begin, r4.tok_end):
         assert 0 <= b < e <= len(r4.extracted_text)
+
+
+def test_run_extraction_table_log_sink(spark, fixture_turns,
+                                       tmp_path_factory):
+    """table_log=True: every output committed through the versioned table
+    format — one atomic snapshot per run per table, resume reads the
+    committed manifest, results identical to the plain-parquet sink."""
+    from texoo_spark.pipeline import run_extraction
+    from texoo_spark.tablelog import TableLog
+    base = str(tmp_path_factory.mktemp("pipetl"))
+    inp = os.path.join(base, "input")
+    fixture_turns.withColumn("ts", __import__("pyspark.sql.functions",
+                                              fromlist=["F"]).lit(None)
+                             .cast("timestamp")) \
+        .write.parquet(inp)
+    plain, versioned = os.path.join(base, "out_p"), os.path.join(base, "out_t")
+    rp = run_extraction(spark, inp, plain, n_buckets=4, salt_buckets=2)
+    r1 = run_extraction(spark, inp, versioned, n_buckets=4, salt_buckets=2,
+                        table_log=True)
+    assert r1["n_turns"] == rp["n_turns"] == 7
+    turns_t = TableLog(os.path.join(versioned, "turns"))
+    # identical rows to the plain sink
+    key = ["conv_id", "turn_idx"]
+    a = sorted((r.conv_id, r.turn_idx, r.extracted_text) for r in
+               turns_t.read(spark).collect())
+    b = sorted((r.conv_id, r.turn_idx, r.extracted_text) for r in
+               spark.read.parquet(os.path.join(plain, "turns")).collect())
+    assert a == b
+    # one committed snapshot per table; resume processes nothing and
+    # commits nothing new
+    assert [h["op"] for h in turns_t.history()] == ["append"]
+    r2 = run_extraction(spark, inp, versioned, n_buckets=4, salt_buckets=2,
+                        table_log=True)
+    assert r2["processed_parts"] == 0
+    assert [h["op"] for h in turns_t.history()] == ["append"]
+    mani_t = TableLog(os.path.join(versioned, "_manifest"))
+    mani = mani_t.read(spark).collect()
+    assert all(m.status == "done" for m in mani)
+    assert sum(m.n_turns for m in mani) == 7
+    assert TableLog(os.path.join(versioned, "spans")).read(spark).count() \
+        == spark.read.parquet(os.path.join(plain, "spans")).count()
+    shutil.rmtree(base, ignore_errors=True)

@@ -75,17 +75,33 @@ def run_extraction(spark: SparkSession, input_path: str, output_dir: str,
                    newlines: str = textops.DISCARD,
                    resume: bool = True,
                    write_spans: bool = True,
-                   use_arrow: bool = False) -> dict:
+                   use_arrow: bool = False,
+                   table_log: bool = False) -> dict:
     """Batch extraction with checkpointed partition manifests.
 
     Outputs (BASELINE north_rule): <out>/turns (extracted text + offset
     arrays), <out>/spans (long-format typed spans per turn), and
     <out>/_manifest (per-partition lineage + metrics; resume anti-joins it).
     Returns a summary dict {processed_parts, skipped_parts, n_turns}.
+
+    ``table_log=True`` commits every output through
+    texoo_spark.tablelog.TableLog instead of plain parquet-dir appends:
+    each run is ONE atomic versioned snapshot per table (a crashed run
+    leaves unreferenced files, never a torn table), history/time travel
+    record lineage per run, and resume reads the manifest from its
+    committed snapshot. On a cluster with an Iceberg catalog this is the
+    seam where df.writeTo(table).append() slots in (tablelog.py module
+    docstring); the default plain-parquet mode is the bench hot lane and
+    is byte-identical to before.
     """
     manifest_path = os.path.join(output_dir, "_manifest")
     data_path = os.path.join(output_dir, "turns")
     spans_path = os.path.join(output_dir, "spans")
+    if table_log:
+        from texoo_spark.tablelog import TableLog
+        turns_t = TableLog(data_path)
+        spans_t = TableLog(spans_path)
+        manifest_t = TableLog(manifest_path)
 
     df = spark.read.parquet(input_path)
     df = with_part_id(df, n_buckets, salt_buckets)
@@ -93,8 +109,10 @@ def run_extraction(spark: SparkSession, input_path: str, output_dir: str,
     done: set[int] = set()
     if resume:
         try:
+            prev_manifest = (manifest_t.read(spark) if table_log
+                             else spark.read.parquet(manifest_path))
             done = {r.part_id for r in
-                    spark.read.parquet(manifest_path)
+                    prev_manifest
                     .filter(F.col("status") == "done")
                     .select("part_id").distinct().collect()}
         except Exception:
@@ -122,16 +140,24 @@ def run_extraction(spark: SparkSession, input_path: str, output_dir: str,
     # clustered plain write: rows arrive grouped by part_id (repartition
     # above), so parquet row-group stats prune part_id predicates on read
     # without the dynamic-partition writer's sort/fanout overhead
-    (extracted.write.mode("append")
-     .parquet(data_path))
+    if table_log:
+        turns_t.append(extracted)
+        read_turns = turns_t.read(spark)
+    else:
+        (extracted.write.mode("append")
+         .parquet(data_path))
+        read_turns = spark.read.parquet(data_path)
 
     if write_spans:
-        (spans_long(spark.read.parquet(data_path)
-                    .filter(F.col("part_id").isin(pending_ids)))
-         .write.mode("append").parquet(spans_path))
+        new_spans = spans_long(
+            read_turns.filter(F.col("part_id").isin(pending_ids)))
+        if table_log:
+            spans_t.append(new_spans)
+        else:
+            new_spans.write.mode("append").parquet(spans_path)
 
     # metrics from the written files (metadata-cheap column-pruned scan)
-    stats = (spark.read.parquet(data_path)
+    stats = (read_turns
              .filter(F.col("part_id").isin(pending_ids))
              .groupBy("part_id")
              .agg(F.count("*").alias("n_turns"),
@@ -144,7 +170,10 @@ def run_extraction(spark: SparkSession, input_path: str, output_dir: str,
                 .withColumn("code_version", F.lit(CODE_VERSION))
                 .withColumn("written_at", F.lit(now))
                 .select([f.name for f in MANIFEST_SCHEMA.fields]))
-    manifest.write.mode("append").parquet(manifest_path)
+    if table_log:
+        manifest_t.append(manifest)
+    else:
+        manifest.write.mode("append").parquet(manifest_path)
 
     n_turns = sum(r.n_turns for r in stats.select("part_id", "n_turns").collect())
     return {"processed_parts": len(pending_ids),
