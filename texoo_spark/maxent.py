@@ -42,6 +42,28 @@ _RES_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "resources")
 
 
+def resource_path(name: str) -> str:
+    """Filesystem path of a bundled model resource. When the package is
+    imported from texoo_spark.zip (spark-submit --py-files), the resource
+    is materialized once per machine into the temp dir via
+    importlib.resources (zipimport's resource reader) — zipfile.ZipFile
+    needs a real file. Atomic rename keeps concurrent executor workers
+    safe."""
+    p = os.path.join(_RES_DIR, name)
+    if os.path.exists(p):
+        return p
+    import importlib.resources as ir
+    import tempfile
+    ref = ir.files("texoo_spark").joinpath("resources", name)
+    tmp = os.path.join(tempfile.gettempdir(), f"texoo_res_{name}")
+    if not os.path.exists(tmp):
+        part = f"{tmp}.{os.getpid()}.part"
+        with open(part, "wb") as f:
+            f.write(ref.read_bytes())
+        os.replace(part, tmp)
+    return tmp
+
+
 class _JavaDataInput:
     __slots__ = ("d", "p")
 
@@ -177,13 +199,13 @@ def token_context(tok: str, i: int) -> list[str]:
 def token_model(path: str | None = None) -> GISModel:
     """Lazy per-process singleton (one instance per executor worker,
     mirroring the reference's synchronized shared model)."""
-    return GISModel(path or os.path.join(_RES_DIR, "en-token.bin"),
+    return GISModel(path or resource_path("en-token.bin"),
                     "token.model")
 
 
 @lru_cache(maxsize=2)
 def sent_model(path: str | None = None) -> GISModel:
-    return GISModel(path or os.path.join(_RES_DIR, "en-sent.bin"),
+    return GISModel(path or resource_path("en-sent.bin"),
                     "sent.model")
 
 

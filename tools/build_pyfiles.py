@@ -16,7 +16,10 @@ def main() -> str:
             if "__pycache__" in root:
                 continue
             for f in files:
-                if f.endswith(".py"):
+                # .py modules + bundled model resources (the OpenNLP
+                # .bin files; executors materialize them via
+                # maxent.resource_path under zipimport)
+                if f.endswith(".py") or os.path.basename(root) == "resources":
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, REPO))
     print(out)

@@ -1,0 +1,42 @@
+"""spark-submit --py-files smoke: run the extraction pipeline AND the
+real-MaxEnt-model lane with texoo_spark imported ONLY from the zip.
+
+Usage:
+    python tools/build_pyfiles.py
+    cd /tmp && $SPARK_HOME/bin/spark-submit --master local[4] \
+        --py-files /root/repo/texoo_spark.zip /root/repo/tools/submit_check.py
+"""
+assert not any(p.startswith("/root/repo") and not p.endswith(".zip")
+               for p in sys.path), sys.path
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[4]")
+         .appName("submit-check")
+         .config("spark.sql.shuffle.partitions", "8").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import texoo_spark
+assert "texoo_spark.zip" in texoo_spark.__file__, texoo_spark.__file__
+
+from texoo_spark.pipeline import run_extraction
+import tempfile, os
+out = tempfile.mkdtemp(prefix="submit_out_")
+inp = os.path.join(out, "input")
+spark.range(0, 2000).selectExpr(
+    "concat('c', cast(id % 37 as string)) AS conv_id",
+    "cast(id as int) AS turn_idx",
+    "'user' AS role",
+    "concat('Hello world number ', cast(id as string), '. Second sentence here.') AS text",
+    "cast(null as string) AS tool",
+    "timestamp_seconds(1700000000 + id) AS ts",
+).write.parquet(inp)
+r = run_extraction(spark, inp, os.path.join(out, "o"),
+                   n_buckets=8, salt_buckets=2, use_arrow=True,
+                   table_log=True)
+assert r["n_turns"] == 2000, r
+
+# real OpenNLP GIS model lane: resources materialized from the zip
+from texoo_spark.maxent import maxent_tokenize_pos
+toks = maxent_tokenize_pos("Dr. Smith's house-boat, arrived (yesterday).")
+assert len(toks) >= 8, toks
+print("SUBMIT-CHECK-OK", r)
+spark.stop()
