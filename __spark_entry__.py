@@ -458,7 +458,18 @@ def q_max_overlap_token(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing, THREE lanes in one probe:
+    """Multimodal plumbing, FOUR lanes in one probe:
+
+    - lane 'mp4': REAL ISO-BMFF container parsing (mp4box.py). Synthetic
+      spec-conformant MP4s (sample bytes/sizes/timing closed-form in
+      media_id; co64 + version-1 boxes rotate in on id residues) are
+      parsed back through the real box walker (stts/stsz/stsc/stco/stss/
+      tkhd/mdhd), frames are sampled every 500ms with the
+      snap-to-preceding-sync rule as pure DataFrame ops, and each
+      selected frame's byte range is sliced JVM-side (binary substring)
+      and sha256'd. The oracle rebuilds dts/offset/size/sync, replays the
+      selection, and hashes the closed-form frame bytes — a misparse of
+      any sample-table box breaks the hash.
 
     - lane 'frames': feature extraction (payloads as opaque binary ->
       mapInPandas, sha256 + byte counts) joined with the frame-sampling
@@ -536,7 +547,35 @@ def q_media_features(spark, sf_dir):
                             "mime", "width", "height", "v_count",
                             F.round("v_mean", 6).alias("v_mean"),
                             "v_first", "v_last"))
-    return frames_lane.unionByName(decoded_lane)
+
+    from texoo_spark.multimodal import (parse_mp4_samples,
+                                        sample_sync_frames,
+                                        slice_frame_bytes)
+
+    def synth_v(batches):
+        from texoo_spark.mp4box import synth_mp4
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "payload": [synth_mp4(int(i)) for i in pdf["media_id"]]},
+                columns=["media_id", "payload"])
+
+    videos = (docs.select(F.col("doc_id").alias("media_id"))
+              .filter(F.col("media_id") < 90)
+              .mapInPandas(synth_v, "media_id long, payload binary"))
+    picked = sample_sync_frames(parse_mp4_samples(videos), every_ms=500)
+    mp4_lane = (slice_frame_bytes(picked, videos)
+                .select(F.lit("mp4").alias("lane"), "media_id",
+                        F.col("dts_ms").alias("frame_ts_ms"),
+                        F.col("frame_sha256").alias("sha256"),
+                        F.col("size").cast("long").alias("n_bytes"),
+                        F.lit("video/mp4").alias("mime"),
+                        "width", "height",
+                        F.col("sample_idx").cast("long").alias("v_count"),
+                        F.lit(None).cast("double").alias("v_mean"),
+                        F.col("offset").cast("double").alias("v_first"),
+                        F.col("duration_ms").cast("double").alias("v_last")))
+    return frames_lane.unionByName(decoded_lane).unionByName(mp4_lane)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -2069,7 +2108,26 @@ def oracle_sql() -> dict[str, str]:
             " WHEN kind = 2 THEN ((mq + 255) % 256 - 128) * 16.0"
             " ELSE CAST((16 * ((w // 8) * (h // 8) - 1) + mp) % 256"
             " AS DOUBLE) END AS v_last"
-            " FROM geo)"
+            " FROM geo),"
+            " mgeo AS (SELECT doc_id AS media_id, 5 + doc_id % 4 AS n,"
+            "  200 + (doc_id % 3) * 100 AS d,"
+            "  320 + (doc_id % 16) * 8 AS w, 180 + (doc_id % 9) * 8 AS h"
+            "  FROM documents WHERE doc_id < 90),"
+            " msamp AS (SELECT media_id, CAST(i AS INTEGER) AS sample_idx,"
+            "  CAST(i * d AS BIGINT) AS dts_ms,"
+            "  24 + ((media_id + 5 * i) % 17) AS size,"
+            "  (i % 3 = 0) AS is_sync, CAST(n * d AS BIGINT) AS duration_ms,"
+            "  w, h FROM mgeo, LATERAL (SELECT unnest(range(0, n)) AS i) r),"
+            " moff AS (SELECT *, 28 + COALESCE(SUM(size) OVER ("
+            "  PARTITION BY media_id ORDER BY sample_idx"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            "  AS byte_off FROM msamp),"
+            " mtgt AS (SELECT media_id, CAST(unnest(range(0, duration_ms,"
+            "  500)) AS BIGINT) AS t FROM"
+            "  (SELECT DISTINCT media_id, duration_ms FROM moff)),"
+            " mpick AS (SELECT media_id, t, MAX(dts_ms) AS dts_ms"
+            "  FROM mtgt JOIN moff USING (media_id)"
+            "  WHERE is_sync AND dts_ms <= t GROUP BY 1, 2)"
             " SELECT 'frames' AS lane, media_id, frame_ts_ms, sha256,"
             " n_bytes, CAST(NULL AS VARCHAR) AS mime,"
             " CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER)"
@@ -2083,7 +2141,26 @@ def oracle_sql() -> dict[str, str]:
             " CAST(NULL AS VARCHAR) AS sha256,"
             " CAST(NULL AS BIGINT) AS n_bytes, mime, width, height,"
             " v_count, ROUND(v_mean, 6) AS v_mean, v_first, v_last"
-            " FROM dec"),
+            " FROM dec"
+            " UNION ALL"
+            # lane 'mp4': closed-form replay of mp4box.synth_rule /
+            # synth_sample_bytes + the every-500ms snap-to-sync selection.
+            # offset = 28 (ftyp+mdat header) + running sum of prior sizes;
+            # frame bytes are printable ASCII so sha256(VARCHAR) hashes
+            # the exact payload bytes.
+            " SELECT 'mp4' AS lane, media_id, dts_ms AS frame_ts_ms,"
+            " sha256(array_to_string(list_transform(range(0, size),"
+            "  j -> chr(CAST(32 + (media_id * 31 + 7 * sample_idx + j) % 95"
+            "  AS INTEGER))), '')) AS sha256,"
+            " CAST(size AS BIGINT) AS n_bytes, 'video/mp4' AS mime,"
+            " CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,"
+            " CAST(sample_idx AS BIGINT) AS v_count,"
+            " CAST(NULL AS DOUBLE) AS v_mean,"
+            " CAST(byte_off AS DOUBLE) AS v_first,"
+            " CAST(duration_ms AS DOUBLE) AS v_last"
+            " FROM (SELECT DISTINCT m.* FROM moff m"
+            "  JOIN mpick p ON p.media_id = m.media_id"
+            "  AND p.dts_ms = m.dts_ms)"),
         "ngram_jaccard_dups": (
             "WITH base AS ("
             " SELECT doc_id AS id, lower(text) AS text FROM documents"

@@ -1,0 +1,145 @@
+"""ISO-BMFF (MP4) container parser/writer tests: box grammar, sample-table
+expansion (stts/stsz/stsc/stco/co64/stss), version-0/1 and uniform-size
+paths, the deterministic synthesis rule, and the Spark frame-sampling
+lane (parse -> snap-to-sync selection -> JVM-side byte slice)."""
+
+import hashlib
+import struct
+
+import pytest
+
+from texoo_spark import mp4box as m
+
+
+def _expected_offsets(sizes):
+    out, pos = [], m.MDAT_PAYLOAD_START
+    for s in sizes:
+        out.append(pos)
+        pos += s
+    return out
+
+
+def test_synth_round_trip_all_variants():
+    """Every id residue class (stco vs co64, version 0 vs 1, each n/delta/
+    size pattern) parses back to the closed-form rule, and each sample's
+    byte range slices to the closed-form payload."""
+    for mid in list(range(20)) + [35, 70, 105]:
+        payload = m.synth_mp4(mid)
+        r = m.synth_rule(mid)
+        mov = m.parse_mp4(payload)
+        assert mov.timescale == 1000
+        assert mov.duration == r["n"] * r["delta"]
+        trk = mov.tracks[0]
+        assert trk.handler == "vide" and trk.codec == "rawv"
+        assert trk.timescale == 1000 and trk.duration == mov.duration
+        assert (trk.width, trk.height) == (r["width"], r["height"])
+        assert trk.sample_sizes == r["sizes"]
+        assert trk.sample_dts == [i * r["delta"] for i in range(r["n"])]
+        assert trk.sample_offsets == _expected_offsets(r["sizes"])
+        for i in range(r["n"]):
+            assert trk.is_sync(i) == r["sync"][i]
+            lo, sz = trk.sample_offsets[i], trk.sample_sizes[i]
+            assert payload[lo:lo + sz] == m.synth_sample_bytes(mid, i, sz)
+
+
+def test_uniform_stsz_and_absent_stss():
+    """All-equal sizes emit the uniform stsz form; all-sync tracks omit
+    stss entirely and every sample reads back sync (spec default)."""
+    p = m.write_mp4([b"x" * 10] * 4, [100] * 4, [True] * 4, 64, 64)
+    assert b"stss" not in p
+    t = m.parse_mp4(p).tracks[0]
+    assert t.sample_sizes == [10] * 4
+    assert t.sync_samples is None and all(t.is_sync(i) for i in range(4))
+
+
+def test_odd_sample_count_short_last_chunk():
+    """3 samples at 2/chunk -> two stsc runs; offsets/dts stay exact."""
+    p = m.write_mp4([b"abc", b"de", b"fghi"], [40, 50, 60],
+                    [True, False, True], 32, 32)
+    t = m.parse_mp4(p).tracks[0]
+    assert t.sample_dts == [0, 40, 90]
+    assert t.sample_sizes == [3, 2, 4]
+    assert t.sample_offsets == [28, 31, 33]
+    assert t.sync_samples == [1, 3]
+
+
+def test_wide_offsets_and_version1_box_forms():
+    """co64 and 64-bit mvhd/mdhd/tkhd parse to identical tables."""
+    samples = [bytes([i] * (8 + i)) for i in range(5)]
+    base = m.parse_mp4(m.write_mp4(
+        samples, [100] * 5, [True, False, True, False, True], 96, 54))
+    for wide, v1 in [(True, False), (False, True), (True, True)]:
+        alt = m.parse_mp4(m.write_mp4(
+            samples, [100] * 5, [True, False, True, False, True], 96, 54,
+            wide_offsets=wide, version1=v1))
+        for attr in ("sample_dts", "sample_sizes", "sample_offsets",
+                     "sync_samples", "width", "height", "duration",
+                     "timescale"):
+            assert getattr(alt.tracks[0], attr) == \
+                getattr(base.tracks[0], attr), attr
+
+
+def test_box_walker_rejects_overruns():
+    """A box whose declared size overruns its scope raises (corrupt-input
+    guard — at scale one bad file must fail its row, not the executor)."""
+    bad = struct.pack(">I", 4096) + b"moov" + b"\x00" * 8
+    with pytest.raises(ValueError):
+        list(m.iter_boxes(bad, 0, len(bad)))
+    trunc = struct.pack(">I", 1) + b"mdat" + b"\x00" * 4  # no room for u64
+    with pytest.raises(ValueError):
+        list(m.iter_boxes(trunc, 0, len(trunc)))
+
+
+def test_size_zero_box_extends_to_scope_end():
+    body = b"\x00" * 12
+    buf = struct.pack(">I", 0) + b"mdat" + body
+    boxes = list(m.iter_boxes(buf, 0, len(buf)))
+    assert boxes == [("mdat", 8, len(buf))]
+
+
+def test_largesize_box():
+    body = b"\x01" * 6
+    buf = (struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(body))
+           + body)
+    boxes = list(m.iter_boxes(buf, 0, len(buf)))
+    assert boxes == [("mdat", 16, len(buf))]
+
+
+@pytest.mark.spark
+def test_spark_frame_sampling_lane():
+    """End to end inside Spark: synth MP4 payloads -> parse_mp4_samples ->
+    sample_sync_frames(500ms) -> slice_frame_bytes; selected frames are
+    sync samples, dedup holds, and each sliced frame hashes to the
+    closed-form bytes."""
+    import pandas as pd
+    from texoo_spark.multimodal import (parse_mp4_samples,
+                                        sample_sync_frames,
+                                        slice_frame_bytes)
+    from texoo_spark.session import get_spark
+    spark = get_spark("texoo-mp4-tests", master="local[4]",
+                      shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        ids = list(range(12))
+        media = spark.createDataFrame(
+            pd.DataFrame({"media_id": ids,
+                          "payload": [m.synth_mp4(i) for i in ids]}))
+        samples = parse_mp4_samples(media)
+        assert samples.count() == sum(m.synth_rule(i)["n"] for i in ids)
+        picked = sample_sync_frames(samples, every_ms=500)
+        rows = slice_frame_bytes(picked, media).collect()
+        assert rows
+        seen = set()
+        for r in rows:
+            key = (r.media_id, r.sample_idx)
+            assert key not in seen, "selection must dedup"
+            seen.add(key)
+            rule = m.synth_rule(r.media_id)
+            assert rule["sync"][r.sample_idx]
+            expect = m.synth_sample_bytes(r.media_id, r.sample_idx, r.size)
+            assert bytes(r.frame_bytes) == expect
+            assert r.frame_sha256 == hashlib.sha256(expect).hexdigest()
+        # snap-to-sync: target 0 always selects sample 0 for every media
+        assert all((i, 0) in seen for i in ids)
+    finally:
+        spark.stop()

@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Decode is REAL for the container formats whose codecs need nothing beyond
-the stdlib (PNG/BMP/WAV via texoo_spark.mediacodec: chunk grammar, CRCs,
-zlib inflate, scanline de-filtering); entropy-coded formats (JPEG/MP3/MP4)
-raise NotImplementedError — plug PIL/opencv/ffmpeg into decode_image /
-decode_audio on a cluster that has them. The Spark-side plumbing is the
-same either way: schemas, partition-preserving mapInPandas over binary
-columns, batch shapes, and the feature-extraction contract.
+Decode is REAL for PNG/BMP/GIF/RIFF-WAV (texoo_spark.mediacodec /
+gifcodec: chunk grammar, CRCs, zlib inflate, scanline de-filtering, LZW),
+baseline JPEG (texoo_spark.jpegcodec: full T.81 Huffman+IDCT path) and
+the MP4 container (texoo_spark.mp4box: ISO-BMFF box walk + sample
+tables — frame byte ranges without decoding). Codec BITSTREAMS inside
+MP4 samples (H.264/AAC) and MP3/WebP/AVIF stay NotImplementedError —
+plug PIL/opencv/ffmpeg in on a cluster that has them. The Spark-side
+plumbing is identical either way: schemas, partition-preserving
+mapInPandas over binary columns, batch shapes, feature contracts.
 
 At 100 TB the rules encoded here matter:
 - binary payloads ride in their own column; metadata filters (mime, width,
@@ -168,6 +170,95 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                         F.lit(0),
                         F.greatest(F.col("duration_ms") - 1, F.lit(0)),
                         F.lit(every_ms))).alias("frame_ts_ms")))
+
+
+MP4_SAMPLE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_idx", IntegerType()),
+    StructField("dts_ms", LongType()),
+    StructField("offset", LongType()),
+    StructField("size", IntegerType()),
+    StructField("is_sync", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", LongType()),
+])
+
+_MP4_SAMPLE_COLS = [f.name for f in MP4_SAMPLE_SCHEMA.fields]
+
+
+def parse_mp4_samples(media: DataFrame) -> DataFrame:
+    """(media_id, payload) -> one row per video sample from the REAL
+    ISO-BMFF sample tables (mp4box.parse_mp4: stts/stsz/stsc/stco/co64/
+    stss/tkhd/mdhd). Emits metadata ONLY — byte slicing happens
+    downstream, JVM-side, against the payload column; at 100 TB the
+    parse reads just the moov byte range (typically <1% of the file),
+    so this stage is IO-bound on index bytes, not video bytes."""
+    from texoo_spark.mp4box import parse_mp4
+
+    def run(batches):
+        for pdf in batches:
+            out = {c: [] for c in _MP4_SAMPLE_COLS}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                movie = parse_mp4(bytes(payload))
+                for trk in movie.tracks:
+                    if trk.handler != "vide" or not trk.timescale:
+                        continue
+                    scale = trk.timescale / 1000.0
+                    for i, (dts, off, sz) in enumerate(zip(
+                            trk.sample_dts, trk.sample_offsets,
+                            trk.sample_sizes)):
+                        out["media_id"].append(int(mid))
+                        out["sample_idx"].append(i)
+                        out["dts_ms"].append(int(dts / scale))
+                        out["offset"].append(int(off))
+                        out["size"].append(int(sz))
+                        out["is_sync"].append(int(trk.is_sync(i)))
+                        out["width"].append(int(trk.width))
+                        out["height"].append(int(trk.height))
+                        out["duration_ms"].append(
+                            int(trk.duration / scale))
+            yield pd.DataFrame(out, columns=_MP4_SAMPLE_COLS)
+
+    return (media.select("media_id", "payload")
+            .mapInPandas(run, MP4_SAMPLE_SCHEMA))
+
+
+def sample_sync_frames(samples: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling selection over a parsed sample table: for each
+    target timestamp (0, every_ms, 2*every_ms, ... < duration) keep the
+    LATEST sync sample at-or-before it (the seek-to-keyframe rule every
+    video pipeline uses), deduped. Pure DataFrame ops — the equi-join on
+    media_id bounds the range predicate to one file's samples, so the
+    shuffle is keyed and per-media work is index-sized."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    targets = (samples.select("media_id", "duration_ms").distinct()
+               .select("media_id", F.explode(F.sequence(
+                   F.lit(0).cast("long"),
+                   F.greatest(F.col("duration_ms") - 1, F.lit(0).cast("long")),
+                   F.lit(int(every_ms)).cast("long"))).alias("target_ms")))
+    syncs = samples.filter(F.col("is_sync") == 1)
+    cand = targets.join(syncs, "media_id").filter(
+        F.col("dts_ms") <= F.col("target_ms"))
+    w = Window.partitionBy("media_id", "target_ms").orderBy(
+        F.desc("dts_ms"), F.desc("sample_idx"))
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*_MP4_SAMPLE_COLS).distinct())
+
+
+def slice_frame_bytes(frames: DataFrame, media: DataFrame) -> DataFrame:
+    """Join sampled frames back to the payload column and slice each
+    frame's byte range JVM-side (binary substring — payload bytes never
+    enter Python). Adds frame_sha256/frame_bytes columns."""
+    from pyspark.sql import functions as F
+    sliced = F.expr(
+        "substring(payload, cast(offset + 1 as int), size)")
+    return (frames.join(media.select("media_id", "payload"), "media_id")
+            .withColumn("frame_bytes", sliced)
+            .withColumn("frame_sha256", F.sha2(F.col("frame_bytes"), 256))
+            .drop("payload"))
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
