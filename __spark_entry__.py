@@ -251,14 +251,35 @@ def q_events_hourly(spark, sf_dir):
 
 
 def q_running_user_totals(spark, sf_dir):
-    """R8 ordered window: running event count + cents per user by time."""
+    """R8 ordered window + sessionization, TWO lanes in one probe:
+
+    - lane 'running': running event count + cents per user by time
+      (seq = event_id, start/end NULL).
+    - lane 'sessions': gap-based sessionization (sessions.session_stats,
+      8-hour gap, integer-microsecond break arithmetic) — one row per
+      (user, session) with count/cents/start/end (seq = session_idx).
+      This is the BATCH twin of sessions.stream_sessionize (the
+      applyInPandasWithState custom stateful operator, same semantics,
+      tested in tests/test_sessions.py); the oracle replays the lag +
+      running-sum-of-breaks construction in SQL."""
+    from texoo_spark.sessions import session_stats
     ev = _load(spark, sf_dir, "events", widen=False)
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (ev.select("user_id", "event_id",
-                      F.count("*").over(w).alias("running_n"),
-                      F.sum(F.round(F.col("value") * 100).cast("long"))
-                      .over(w).alias("running_cents")))
+    running = (ev.select(F.lit("running").alias("lane"), "user_id",
+                         F.col("event_id").cast("long").alias("seq"),
+                         F.count("*").over(w).alias("n"),
+                         F.sum(F.round(F.col("value") * 100).cast("long"))
+                         .over(w).alias("cents"))
+               .withColumn("start_ts", F.lit(None).cast("timestamp"))
+               .withColumn("end_ts", F.lit(None).cast("timestamp")))
+    sessions = (session_stats(ev, "user_id", "ts", gap_sec=28800,
+                              value_col="value", order_cols=("event_id",))
+                .select(F.lit("sessions").alias("lane"), "user_id",
+                        F.col("session_idx").cast("long").alias("seq"),
+                        F.col("n_events").alias("n"), "cents",
+                        "start_ts", "end_ts"))
+    return running.unionByName(sessions)
 
 
 def q_dedup_prefix(spark, sf_dir):
@@ -1995,12 +2016,30 @@ def oracle_sql() -> dict[str, str]:
             " CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)"
             " AS value_cents FROM events GROUP BY 1, 2"),
         "running_user_totals": (
-            "SELECT user_id, event_id,"
-            " COUNT(*) OVER w AS running_n,"
+            "WITH s0 AS (SELECT user_id, ts, event_id, value,"
+            " CASE WHEN LAG(epoch_us(ts)) OVER w2 IS NULL"
+            " OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w2 > 28800000000"
+            " THEN 1 ELSE 0 END AS brk FROM events"
+            " WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+            " s1 AS (SELECT user_id, ts, value,"
+            " SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS session_idx FROM s0),"
+            " s AS (SELECT user_id, session_idx,"
+            " COUNT(*) AS n,"
+            " CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)"
+            " AS cents, MIN(ts) AS start_ts, MAX(ts) AS end_ts FROM s1"
+            " GROUP BY 1, 2)"
+            " SELECT 'running' AS lane, user_id,"
+            " CAST(event_id AS BIGINT) AS seq,"
+            " COUNT(*) OVER w AS n,"
             " CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)"
-            " AS running_cents FROM events"
+            " AS cents, CAST(NULL AS TIMESTAMP) AS start_ts,"
+            " CAST(NULL AS TIMESTAMP) AS end_ts FROM events"
             " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
-            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " UNION ALL SELECT 'sessions' AS lane, user_id, session_idx"
+            " AS seq, n, cents, start_ts, end_ts FROM s"),
         "dedup_prefix": (
             "SELECT array_to_string(string_split(text, ' ')[1:3], ' ')"
             " AS prefix_key, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id"

@@ -1,0 +1,115 @@
+"""Sessionization tests: the batch lane's exact session assignment and
+the streaming applyInPandasWithState lane's two closing paths (inline
+gap break + event-time-timeout), plus batch/stream semantic parity."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from texoo_spark.session import get_spark
+    s = get_spark("texoo-sessions-tests", master="local[4]",
+                  shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(user, sec, val=1.0, eid=None):
+    return (eid if eid is not None else sec, T0 + dt.timedelta(seconds=sec),
+            user, val)
+
+
+SCHEMA = "event_id long, ts timestamp, user_id string, value double"
+
+
+def test_batch_sessionize_exact(spark):
+    """gap=100s: A breaks after 30s-then-200s-later; B single session;
+    boundary case: a gap of EXACTLY 100s does NOT break (strict >)."""
+    from texoo_spark.sessions import session_stats, sessionize
+    rows = [_ev("A", 0), _ev("A", 30), _ev("A", 231), _ev("A", 331),
+            _ev("B", 10), _ev("B", 110)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    sess = {(r.user_id, r.event_id): r.session_idx
+            for r in sessionize(df, "user_id", "ts", 100,
+                                ("event_id",)).collect()}
+    assert sess == {("A", 0): 1, ("A", 30): 1, ("A", 231): 2,
+                    ("A", 331): 2, ("B", 10): 1, ("B", 110): 1}
+    stats = {(r.user_id, r.session_idx): (r.n_events, r.cents)
+             for r in session_stats(df, "user_id", "ts", 100,
+                                    value_col="value",
+                                    order_cols=("event_id",)).collect()}
+    assert stats == {("A", 1): (2, 200), ("A", 2): (2, 200),
+                     ("B", 1): (2, 200)}
+
+
+def test_batch_sessionize_plan_is_keyed(spark):
+    """The sessionize exchange is hash-partitioned on the key — no
+    SinglePartition window (the 10^12-row requirement)."""
+    from texoo_spark.sessions import sessionize
+    df = spark.createDataFrame([_ev("A", 0), _ev("B", 5)], SCHEMA)
+    plan = sessionize(df, "user_id", "ts", 100)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_stream_sessionize_closes_inline_and_by_timeout(spark, tmp_path):
+    """Three micro-batches (maxFilesPerTrigger=1):
+      b1: A@0s, A@30s, B@20s
+      b2: A@3600s  -> A's first session closes INLINE (gap 3570 > 100)
+      b3: C@7200s  -> watermark(10s) passes 3599:50, firing B's and A's
+                      session-2 EventTimeTimeouts in later triggers
+    Every closed session matches the batch twin exactly."""
+    from texoo_spark.sessions import stream_sessionize
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    batches = [
+        [_ev("A", 0), _ev("A", 30), _ev("B", 20)],
+        [_ev("A", 3600, eid=100)],
+        [_ev("C", 7200, eid=200)],
+        [_ev("C", 14400, eid=300)],  # pushes the watermark far past all
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"b{i}"))
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(in_dir + "/b*"))
+    out = stream_sessionize(stream, "user_id", "ts", gap_sec=100,
+                            watermark="10 seconds", value_col="value")
+    q = (out.writeStream.format("memory").queryName("sess_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.session_idx): (r.n_events, r.cents, r.start_ts,
+                                        r.end_ts)
+           for r in spark.sql("SELECT * FROM sess_out").collect()}
+    # file-source ordering across globs is lexicographic (b0..b3), so
+    # closures are deterministic: A session1 inline, B session1 + A
+    # session2 + C session1 by timeout once the watermark passes them
+    assert got[("A", 1)] == (2, 200, T0, T0 + dt.timedelta(seconds=30))
+    assert got[("B", 1)] == (1, 100, T0 + dt.timedelta(seconds=20),
+                             T0 + dt.timedelta(seconds=20))
+    assert got[("A", 2)] == (1, 100, T0 + dt.timedelta(seconds=3600),
+                             T0 + dt.timedelta(seconds=3600))
+    assert got[("C", 1)] == (1, 100, T0 + dt.timedelta(seconds=7200),
+                             T0 + dt.timedelta(seconds=7200))
+    # parity with the batch twin on the closed subset
+    from texoo_spark.sessions import session_stats
+    all_rows = [r for b in batches for r in b]
+    batch = {(r.user_id, r.session_idx): (r.n_events, r.cents, r.start_ts,
+                                          r.end_ts)
+             for r in session_stats(
+                 spark.createDataFrame(all_rows, SCHEMA), "user_id", "ts",
+                 100, value_col="value").collect()}
+    for k, v in got.items():
+        assert batch[k] == v
