@@ -6,8 +6,11 @@ Usage:
     cd /tmp && $SPARK_HOME/bin/spark-submit --master local[4] \
         --py-files /root/repo/texoo_spark.zip /root/repo/tools/submit_check.py
 """
-assert not any(p.startswith("/root/repo") and not p.endswith(".zip")
-               for p in sys.path), sys.path
+import sys
+
+# the repo root must NOT be importable (texoo_spark only via the zip);
+# spark-submit auto-adds the script's own dir (tools/), which is fine
+assert not any(p.rstrip("/") == "/root/repo" for p in sys.path), sys.path
 from pyspark.sql import SparkSession
 
 spark = (SparkSession.builder.master("local[4]")
