@@ -2149,9 +2149,13 @@ def oracle_sql() -> dict[str, str]:
             " 256 * (8 + (doc_id // 4) % 5) AS n,"
             " doc_id % 200 AS mp, doc_id % 128 AS mq"
             " FROM documents WHERE doc_id < 120),"
+            # kind 2 alternates WAV / FLAC on (id//4) parity; FLAC is
+            # lossless so only the mime changes — decoded stats identical
             " dec AS (SELECT media_id,"
             " CASE kind WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'"
-            " WHEN 2 THEN 'audio/wav' ELSE 'image/jpeg' END AS mime,"
+            " WHEN 2 THEN (CASE WHEN (media_id // 4) % 2 = 1"
+            " THEN 'audio/flac' ELSE 'audio/wav' END)"
+            " ELSE 'image/jpeg' END AS mime,"
             " CAST(CASE WHEN kind = 2 THEN n ELSE w END AS INTEGER)"
             " AS width,"
             " CAST(CASE WHEN kind = 2 THEN 1 ELSE h END AS INTEGER)"

@@ -154,7 +154,9 @@ def test_synth_payload_closed_form_stats(media_id):
         assert stats["v_first"] == media_id % 200
         assert stats["v_last"] == ((h - 1) * w + w - 1 + media_id % 200) % 256
     elif kind == 2:
-        assert mime == "audio/wav"
+        # g parity picks the container; FLAC is lossless so every stat
+        # below is container-independent
+        assert mime == ("audio/flac" if g % 2 else "audio/wav")
         n = 256 * (8 + g % 5)
         assert (stats["width"], stats["height"]) == (n, 1)
         assert stats["v_count"] == n

@@ -44,7 +44,8 @@ def test_decode_media_stats_spark(spark):
     for i in range(16):
         r = got[i]
         if i % 4 == 2:
-            assert r.mime == "audio/wav" and r.height == 1
+            want = "audio/flac" if (i // 4) % 2 else "audio/wav"
+            assert r.mime == want and r.height == 1
             assert r.v_mean == -8.0
         elif i % 4 == 3:  # grayscale JPEG: exact flat-block round trip
             assert r.mime == "image/jpeg"

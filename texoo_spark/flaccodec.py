@@ -1,0 +1,451 @@
+"""FLAC codec from scratch (public format: RFC 9639 / xiph.org spec).
+
+Decoder covers the baseline feature space for integer PCM up to 32-bit:
+STREAMINFO + metadata-block walk, frame sync + CRC-8-verified headers,
+both blocking strategies, UTF-8-style coded numbers, all four channel
+assignments (independent, left/side, right/side, mid/side), wasted bits,
+and every subframe type — CONSTANT, VERBATIM, FIXED (orders 0-4) and LPC
+(orders 1-32, quantized coefficients + shift) — with rice-coded residuals
+in both 4- and 5-bit parameter forms including escaped raw partitions,
+and the frame CRC-16 check.
+
+Encoder scope: 16-bit PCM, independent channels, constant blocksize,
+FIXED predictors (order chosen per subframe by residual magnitude,
+CONSTANT when flat), one rice partition with an exact-cost-minimizing
+parameter. decode(encode(x)) == x bit-exactly (FLAC is lossless), and the
+STREAMINFO MD5 matches the raw little-endian PCM — both pinned in tests.
+
+The reference repo (sebastianarnold/TeXoo) has no audio path; this module
+extends the net-new multimodal tier (SURVEY §2.7) the same way
+jpegcodec.py does for images: a real, spec-conformant codec so the
+decode seam is exercised end-to-end instead of stubbed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — frame-header checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly 0x8005, init 0 — whole-frame checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitReader:
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos          # byte position
+        self.bit = 0            # bit offset within buf[pos], MSB-first
+
+    def read(self, n: int) -> int:
+        out = 0
+        while n > 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("flac: bitstream truncated")
+            avail = 8 - self.bit
+            take = min(n, avail)
+            byte = self.buf[self.pos]
+            out = (out << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            n -= take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return out
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self):
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int):
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int):
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self):
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+def _read_coded_number(r: _BitReader) -> int:
+    """The UTF-8-like variable-length frame/sample number."""
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x40
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n < 1 or n > 6:
+        raise ValueError("flac: bad coded number")
+    val = b0 & (mask - 1)
+    for _ in range(n):
+        c = r.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("flac: bad coded-number continuation")
+        val = (val << 6) | (c & 0x3F)
+    return val
+
+
+def _write_coded_number(w: _BitWriter, val: int):
+    if val < 0x80:
+        w.write(val, 8)
+        return
+    parts = []
+    n = 0
+    v = val
+    while True:
+        n += 1
+        parts.append(v & 0x3F)
+        v >>= 6
+        if v < (1 << (6 - n)):
+            break
+    w.write((0xFF00 >> (n + 1)) & 0xFF | v, 8)
+    for p in reversed(parts):
+        w.write(0x80 | p, 8)
+
+
+_BLOCKSIZE_CODES = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5,
+                    256: 8, 512: 9, 1024: 10, 2048: 11, 4096: 12,
+                    8192: 13, 16384: 14, 32768: 15}
+_SAMPLE_SIZE_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+_SAMPLE_SIZE_BITS = {v: k for k, v in _SAMPLE_SIZE_CODES.items()}
+
+
+def _decode_residual(r: _BitReader, blocksize: int, order: int) -> np.ndarray:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    po = r.read(4)
+    nparts = 1 << po
+    if blocksize % nparts:
+        raise ValueError("flac: blocksize not divisible by partitions")
+    out = np.empty(blocksize - order, dtype=np.int64)
+    idx = 0
+    for p in range(nparts):
+        n = blocksize // nparts - (order if p == 0 else 0)
+        param = r.read(pbits)
+        if param == escape:
+            raw = r.read(5)
+            for i in range(n):
+                out[idx + i] = r.read_signed(raw) if raw else 0
+        else:
+            for i in range(n):
+                q = r.read_unary()
+                v = (q << param) | r.read(param)
+                out[idx + i] = (v >> 1) ^ -(v & 1)
+        idx += n
+    return out
+
+
+def _decode_subframe(r: _BitReader, blocksize: int, bps: int) -> np.ndarray:
+    if r.read(1):
+        raise ValueError("flac: subframe padding bit set")
+    stype = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.read_unary() + 1
+        bps -= wasted
+    if stype == 0:                                   # CONSTANT
+        out = np.full(blocksize, r.read_signed(bps), dtype=np.int64)
+    elif stype == 1:                                 # VERBATIM
+        out = np.fromiter((r.read_signed(bps) for _ in range(blocksize)),
+                          dtype=np.int64, count=blocksize)
+    elif 8 <= stype <= 12:                           # FIXED order 0-4
+        order = stype - 8
+        warm = [r.read_signed(bps) for _ in range(order)]
+        resid = _decode_residual(r, blocksize, order)
+        out = np.empty(blocksize, dtype=np.int64)
+        out[:order] = warm
+        coefs = _FIXED_COEFS[order]
+        for i in range(order, blocksize):
+            pred = sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
+            out[i] = resid[i - order] + pred
+    elif stype >= 32:                                # LPC order 1-32
+        order = (stype & 31) + 1
+        warm = [r.read_signed(bps) for _ in range(order)]
+        prec = r.read(4) + 1
+        if prec == 16:
+            raise ValueError("flac: invalid lpc precision")
+        shift = r.read_signed(5)
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        resid = _decode_residual(r, blocksize, order)
+        out = np.empty(blocksize, dtype=np.int64)
+        out[:order] = warm
+        for i in range(order, blocksize):
+            acc = sum(c * int(out[i - 1 - j]) for j, c in enumerate(coefs))
+            out[i] = resid[i - order] + (acc >> shift)
+    else:
+        raise ValueError(f"flac: reserved subframe type {stype}")
+    return out << wasted if wasted else out
+
+
+def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    """FLAC bytes -> ((n_samples, channels) int32 PCM, sample_rate).
+    Verifies frame CRC-8/CRC-16 and the STREAMINFO MD5."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("flac: bad magic")
+    pos = 4
+    info = None
+    while True:
+        hdr = payload[pos:pos + 4]
+        last, btype = hdr[0] >> 7, hdr[0] & 0x7F
+        blen = int.from_bytes(hdr[1:4], "big")
+        body = payload[pos + 4:pos + 4 + blen]
+        if btype == 0:
+            r = _BitReader(body)
+            r.read(16), r.read(16), r.read(24), r.read(24)
+            rate = r.read(20)
+            channels = r.read(3) + 1
+            bps = r.read(5) + 1
+            total = r.read(36)
+            md5 = body[18:34]
+            info = (rate, channels, bps, total, md5)
+        pos += 4 + blen
+        if last:
+            break
+    if info is None:
+        raise ValueError("flac: missing STREAMINFO")
+    rate, channels, bps, total, md5 = info
+    chans: list[np.ndarray] = [np.empty(0, dtype=np.int64)
+                               for _ in range(channels)]
+    out = [[] for _ in range(channels)]
+    while pos < len(payload):
+        frame_start = pos
+        r = _BitReader(payload, pos)
+        sync = r.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError("flac: lost frame sync")
+        r.read(1)
+        r.read(1)                                   # blocking strategy
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        chan_code = r.read(4)
+        ss_code = r.read(3)
+        r.read(1)
+        _read_coded_number(r)
+        if bs_code == 0:
+            raise ValueError("flac: reserved blocksize code")
+        elif bs_code == 6:
+            blocksize = r.read(8) + 1
+        elif bs_code == 7:
+            blocksize = r.read(16) + 1
+        elif bs_code == 1:
+            blocksize = 192
+        elif bs_code <= 5:
+            blocksize = 576 << (bs_code - 2)
+        else:
+            blocksize = 256 << (bs_code - 8)
+        if sr_code == 12:
+            r.read(8)
+        elif sr_code in (13, 14):
+            r.read(16)
+        fbps = _SAMPLE_SIZE_BITS.get(ss_code, bps)
+        r.align()
+        if _crc8(payload[frame_start:r.pos]) != payload[r.pos]:
+            raise ValueError("flac: frame header crc mismatch")
+        r.pos += 1
+        if chan_code < 8:
+            nch = chan_code + 1
+            subs = [_decode_subframe(r, blocksize, fbps)
+                    for _ in range(nch)]
+        elif chan_code == 8:                         # left/side
+            left = _decode_subframe(r, blocksize, fbps)
+            side = _decode_subframe(r, blocksize, fbps + 1)
+            subs = [left, left - side]
+        elif chan_code == 9:                         # right/side
+            side = _decode_subframe(r, blocksize, fbps + 1)
+            right = _decode_subframe(r, blocksize, fbps)
+            subs = [right + side, right]
+        elif chan_code == 10:                        # mid/side
+            mid = _decode_subframe(r, blocksize, fbps)
+            side = _decode_subframe(r, blocksize, fbps + 1)
+            # spec: mid = (l+r)>>1 (floor), side = l-r; the dropped sum
+            # bit equals side's parity
+            lr = (mid << 1) | (side & 1)
+            left = (lr + side) >> 1
+            subs = [left, left - side]
+        else:
+            raise ValueError("flac: reserved channel assignment")
+        r.align()
+        crc = r.read(16)
+        if crc != _crc16(payload[frame_start:r.pos - 2]):
+            raise ValueError("flac: frame crc16 mismatch")
+        if len(subs) != channels:
+            raise ValueError("flac: channel count changed mid-stream")
+        for c in range(channels):
+            out[c].append(subs[c])
+        pos = r.pos
+    chans = [np.concatenate(c) if c else np.empty(0, dtype=np.int64)
+             for c in out]
+    pcm = np.stack(chans, axis=1).astype(np.int64)
+    if total:
+        pcm = pcm[:total]
+    if bps == 16:
+        raw = pcm.astype("<i2").tobytes()
+        if hashlib.md5(raw).digest() != md5 and any(md5):
+            raise ValueError("flac: streaminfo md5 mismatch")
+    return pcm.astype(np.int32), rate
+
+
+# ---------------------------------------------------------------------------
+# encoder (16-bit, independent channels, fixed predictors)
+
+
+def _best_rice_param(zig: np.ndarray, pbits: int) -> tuple[int, int]:
+    """(param, exact bit cost) minimizing unary+binary length."""
+    best_k, best_cost = 0, None
+    for k in range((1 << pbits) - 1):
+        cost = int((zig >> k).sum()) + len(zig) * (1 + k)
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+    return best_k, best_cost
+
+
+def _encode_residual(w: _BitWriter, resid: np.ndarray, pbits: int):
+    zig = (resid << 1) ^ (resid >> 63)          # int64, non-negative
+    param, _ = _best_rice_param(zig, pbits)
+    w.write(0 if pbits == 4 else 1, 2)
+    w.write(0, 4)                                   # partition order 0
+    w.write(param, pbits)
+    for v in zig.tolist():
+        w.write_unary(int(v) >> param)
+        if param:
+            w.write(int(v) & ((1 << param) - 1), param)
+
+
+def _encode_subframe(w: _BitWriter, samples: np.ndarray, bps: int):
+    s = samples.astype(np.int64)
+    if np.all(s == s[0]):
+        w.write(0, 1)
+        w.write(0, 6)                               # CONSTANT
+        w.write(0, 1)
+        w.write(int(s[0]), bps)
+        return
+    best_order, best_cost, best_resid = 0, None, None
+    for order in range(0, 3):
+        if len(s) <= order:
+            break
+        resid = s.copy()
+        for _ in range(order):
+            resid = np.diff(resid)
+        cost = int(np.abs(resid).sum())
+        if best_cost is None or cost < best_cost:
+            best_order, best_cost, best_resid = order, cost, resid
+    w.write(0, 1)
+    w.write(8 + best_order, 6)                      # FIXED
+    w.write(0, 1)
+    for i in range(best_order):
+        w.write(int(s[i]), bps)
+    _encode_residual(w, best_resid, 4)
+
+
+def encode_flac(pcm: np.ndarray, sample_rate: int = 8000,
+                blocksize: int = 4096) -> bytes:
+    """(n, channels) int16 PCM -> FLAC bytes (fixed blocking strategy,
+    independent channels, FIXED predictors, rice partition order 0)."""
+    pcm = np.asarray(pcm)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    if pcm.dtype != np.int16:
+        raise ValueError("encode_flac: int16 PCM only")
+    n, channels = pcm.shape
+    if blocksize not in _BLOCKSIZE_CODES:
+        raise ValueError("encode_flac: blocksize must be a coded size")
+    md5 = hashlib.md5(pcm.astype("<i2").tobytes()).digest()
+    si = _BitWriter()
+    si.write(blocksize, 16)
+    si.write(blocksize, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(channels - 1, 3)
+    si.write(15, 5)                                 # bps-1 = 15
+    si.write(n, 36)
+    streaminfo = si.bytes() + md5
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    frame_no = 0
+    for start in range(0, max(n, 1), blocksize):
+        block = pcm[start:start + blocksize]
+        bs = len(block)
+        if bs == 0:
+            break
+        w = _BitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)
+        w.write(0, 1)                               # fixed strategy
+        last_partial = bs != blocksize
+        w.write(7 if last_partial else _BLOCKSIZE_CODES[blocksize], 4)
+        w.write(0, 4)                               # rate: from STREAMINFO
+        w.write(channels - 1, 4)                    # independent
+        w.write(_SAMPLE_SIZE_CODES[16], 3)
+        w.write(0, 1)
+        _write_coded_number(w, frame_no)
+        if last_partial:
+            w.write(bs - 1, 16)
+        w.align()
+        hdr = w.bytes()
+        w2 = _BitWriter()
+        for c in range(channels):
+            _encode_subframe(w2, block[:, c], 16)
+        w2.align()
+        body = hdr + bytes([_crc8(hdr)]) + w2.bytes()
+        out += body + struct.pack(">H", _crc16(body))
+        frame_no += 1
+    return bytes(out)

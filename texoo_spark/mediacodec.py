@@ -292,6 +292,11 @@ def synth_media_payload(media_id: int) -> tuple[str, bytes]:
     if kind == 2:
         n = 256 * (8 + g % 5)
         s = ((np.arange(n) + media_id % 128) % 256 - 128) * 16
+        if g % 2:
+            # FLAC is lossless, so the decoded stats stay the SAME
+            # closed form as WAV — only the mime differs in the oracle
+            from texoo_spark.flaccodec import encode_flac
+            return "audio/flac", encode_flac(s.astype(np.int16), 8000)
         return "audio/wav", make_wav(s.astype(np.int16))
     from texoo_spark.jpegcodec import make_flat_block_jpeg
     w = 16 * (1 + g % 2)
@@ -313,8 +318,12 @@ def decode_features(mime: str, payload: bytes) -> dict:
     elif mime == "image/jpeg":
         from texoo_spark.jpegcodec import decode_jpeg
         arr = decode_jpeg(payload)
-    elif mime == "audio/wav":
-        samples, rate = decode_wav(payload)
+    elif mime in ("audio/wav", "audio/flac"):
+        if mime == "audio/wav":
+            samples, rate = decode_wav(payload)
+        else:
+            from texoo_spark.flaccodec import decode_flac
+            samples, rate = decode_flac(payload)
         flat = samples.reshape(-1).astype(np.float64)
         return {"width": int(samples.shape[0]), "height": 1,
                 "v_count": int(flat.size), "v_mean": float(flat.mean()),

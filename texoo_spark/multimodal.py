@@ -74,15 +74,19 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 
 def decode_audio(payload: bytes) -> np.ndarray:
-    """Audio payload bytes -> (n_samples, channels) int16 via the RIFF/WAV
-    PCM codec. Entropy-coded formats (MP3/AAC/...) need a library not in
-    this environment."""
+    """Audio payload bytes -> (n_samples, channels) PCM via the RIFF/WAV
+    or FLAC codecs (flaccodec: full rice/fixed/LPC baseline decode).
+    Perceptual formats (MP3/AAC/...) need a library not in this
+    environment."""
     from texoo_spark import mediacodec
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return mediacodec.decode_wav(payload)[0]
+    if payload[:4] == b"fLaC":
+        from texoo_spark.flaccodec import decode_flac
+        return decode_flac(payload)[0]
     raise NotImplementedError(
         "no codec for this audio format in this environment "
-        "(stdlib codec covers RIFF/WAV PCM)")
+        "(stdlib codecs cover RIFF/WAV PCM and FLAC)")
 
 
 def fake_decode(payload: bytes, dims: int = 16) -> np.ndarray:
