@@ -232,24 +232,26 @@ def sample_sync_frames(samples: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling selection over a parsed sample table: for each
     target timestamp (0, every_ms, 2*every_ms, ... < duration) keep the
     LATEST sync sample at-or-before it (the seek-to-keyframe rule every
-    video pipeline uses), deduped. Pure DataFrame ops — the equi-join on
-    media_id bounds the range predicate to one file's samples, so the
-    shuffle is keyed and per-media work is index-sized."""
+    video pipeline uses), deduped.
+
+    Closed form instead of a target join: a sync sample covers targets
+    in [dts, next_sync_dts), so it is selected iff the first every_ms
+    multiple at-or-after its dts lands inside that window (clipped to
+    the duration). ONE keyed window (lead over the sync samples per
+    media) + a filter — one exchange, no explode, no self-join, and the
+    sample table is scanned once."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
-    targets = (samples.select("media_id", "duration_ms").distinct()
-               .select("media_id", F.explode(F.sequence(
-                   F.lit(0).cast("long"),
-                   F.greatest(F.col("duration_ms") - 1, F.lit(0).cast("long")),
-                   F.lit(int(every_ms)).cast("long"))).alias("target_ms")))
+    w = Window.partitionBy("media_id").orderBy("sample_idx")
     syncs = samples.filter(F.col("is_sync") == 1)
-    cand = targets.join(syncs, "media_id").filter(
-        F.col("dts_ms") <= F.col("target_ms"))
-    w = Window.partitionBy("media_id", "target_ms").orderBy(
-        F.desc("dts_ms"), F.desc("sample_idx"))
-    return (cand.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(*_MP4_SAMPLE_COLS).distinct())
+    nxt = F.lead("dts_ms").over(w)
+    window_end = F.least(F.coalesce(nxt, F.col("duration_ms")),
+                         F.col("duration_ms"))
+    first_target = (F.ceil(F.col("dts_ms") / F.lit(int(every_ms)))
+                    * F.lit(int(every_ms))).cast("long")
+    return (syncs.withColumn("_end", window_end)
+            .filter(first_target < F.col("_end"))
+            .select(*_MP4_SAMPLE_COLS))
 
 
 def slice_frame_bytes(frames: DataFrame, media: DataFrame) -> DataFrame:

@@ -59,7 +59,43 @@ COMMENTARY = {
         "64-bit window hash — never a text-to-text comparison. The "
         "10^12-row form materializes the train hash set once, bucketed "
         "by hash."),
+    "mp4_frame_sampling": (
+        "Round 3: video frame sampling from REAL ISO-BMFF sample tables. "
+        "ONE MapInPandas parses container metadata (at scale it reads "
+        "just the moov byte range — the sample table is scanned once); "
+        "the every-N-ms snap-to-preceding-sync selection is a closed "
+        "form over one media_id-keyed window (lead of the next sync "
+        "dts), no explode, no target join, no SinglePartition; the "
+        "selected frames' byte ranges then slice JVM-side (binary "
+        "substring inside codegen), so video bytes never enter Python."),
+    "sessionization": (
+        "Round 3: gap-based sessions as one keyed window (lag + running "
+        "sum of break flags) feeding a keyed aggregation — both "
+        "exchanges hashpartition on user_id, so the plan is "
+        "embarrassingly parallel across keys at 10^12 rows. The "
+        "streaming twin (applyInPandasWithState) keeps O(1) state per "
+        "key with the same break rule."),
 }
+
+
+def _mp4_frames(spark):
+    import pandas as pd
+    from texoo_spark.mp4box import synth_mp4
+    from texoo_spark.multimodal import (parse_mp4_samples,
+                                        sample_sync_frames,
+                                        slice_frame_bytes)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": range(8),
+                      "payload": [synth_mp4(i) for i in range(8)]}))
+    picked = sample_sync_frames(parse_mp4_samples(media), every_ms=500)
+    return slice_frame_bytes(picked, media)
+
+
+def _sessions(spark, sf):
+    from texoo_spark.sessions import session_stats
+    ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    return session_stats(ev, "user_id", "ts", 28800, value_col="value",
+                         order_cols=("event_id",))
 
 
 def main() -> None:
@@ -90,6 +126,8 @@ def main() -> None:
         "segmentation_metrics": e.q_segmentation_metrics(spark, SF),
         "embedding_near_dups": e.q_embedding_near_dups(spark, SF),
         "contamination": e.q_contamination(spark, SF),
+        "mp4_frame_sampling": _mp4_frames(spark),
+        "sessionization": _sessions(spark, SF),
     }
 
     out = ["# PLANS — physical plans of the flagship queries",
