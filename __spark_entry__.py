@@ -581,9 +581,12 @@ def q_media_features(spark, sf_dir):
                  "payload": [synth_mp4(int(i)) for i in pdf["media_id"]]},
                 columns=["media_id", "payload"])
 
+    # persisted: the synth stage (the stand-in "fetch") feeds BOTH the
+    # metadata parse and the frame-slice join — one pass, not two
     videos = (docs.select(F.col("doc_id").alias("media_id"))
               .filter(F.col("media_id") < 90)
-              .mapInPandas(synth_v, "media_id long, payload binary"))
+              .mapInPandas(synth_v, "media_id long, payload binary")
+              .persist())
     picked = sample_sync_frames(parse_mp4_samples(videos), every_ms=500)
     mp4_lane = (slice_frame_bytes(picked, videos)
                 .select(F.lit("mp4").alias("lane"), "media_id",

@@ -113,3 +113,86 @@ def test_stream_sessionize_closes_inline_and_by_timeout(spark, tmp_path):
                  100, value_col="value").collect()}
     for k, v in got.items():
         assert batch[k] == v
+
+
+def test_stream_reactivated_key_continues_ordinals(spark, tmp_path):
+    """After a timeout-close, the key's state keeps the session counter:
+    a reappearing key emits session_idx 2, not a duplicate 1 (review
+    finding: state.remove() restarted numbering)."""
+    from texoo_spark.sessions import stream_sessionize
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    batches = [
+        [_ev("A", 0)],
+        [_ev("Z", 1000, eid=50)],      # advances watermark: closes A#1
+        [_ev("A", 5000, eid=100)],     # A reappears -> session 2
+        [_ev("Z", 9000, eid=200)],     # closes A#2 by timeout
+        [_ev("Z", 13000, eid=300)],    # flush Z's own sessions forward
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"b{i}"))
+    out = stream_sessionize(
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/b*"),
+        "user_id", "ts", gap_sec=100, watermark="10 seconds")
+    q = (out.writeStream.format("memory").queryName("sess_react")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.session_idx): r.n_events
+           for r in spark.sql("SELECT * FROM sess_react").collect()}
+    assert got[("A", 1)] == 1
+    assert got[("A", 2)] == 1
+    assert ("A", 3) not in got
+
+
+def test_stream_late_in_watermark_event_folds_forward(spark, tmp_path):
+    """A late (but within-watermark) event from a later micro-batch must
+    fold into the open session WITHOUT moving its end backward or
+    splitting it (review finding: last_us moved backward)."""
+    from texoo_spark.sessions import session_stats, stream_sessionize
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    batches = [
+        [_ev("A", 100)],
+        # 95s is late but >= watermark; 196s extends: gaps are 5s and
+        # 96s <= gap=100 -> ONE session [95, 196]
+        [_ev("A", 95, eid=50), _ev("A", 196, eid=60)],
+        [_ev("Z", 5000, eid=100)],     # flush A by timeout
+        [_ev("Z", 9000, eid=200)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"b{i}"))
+    out = stream_sessionize(
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/b*"),
+        "user_id", "ts", gap_sec=100, watermark="1000 seconds",
+        value_col="value")
+    q = (out.writeStream.format("memory").queryName("sess_late")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.session_idx): (r.n_events, r.start_ts, r.end_ts)
+           for r in spark.sql("SELECT * FROM sess_late").collect()}
+    assert got[("A", 1)] == (3, T0 + dt.timedelta(seconds=95),
+                             T0 + dt.timedelta(seconds=196))
+    assert ("A", 2) not in got
+    # and the batch twin agrees
+    batch = {(r.user_id, r.session_idx): (r.n_events, r.start_ts, r.end_ts)
+             for r in session_stats(
+                 spark.createDataFrame(
+                     [r for b in batches[:2] for r in b], SCHEMA),
+                 "user_id", "ts", 100, value_col="value").collect()}
+    assert batch[("A", 1)] == got[("A", 1)]
+
+
+def test_cents_half_up_and_null_tolerance():
+    """Streaming cent rounding matches Spark F.round (HALF_UP away from
+    zero), and NULL/NaN values contribute 0 like SUM."""
+    from texoo_spark.sessions import _cents
+    assert _cents(0.125) == 13          # banker's would give 12
+    assert _cents(-0.125) == -13
+    assert _cents(0.115) == 12
+    assert _cents(None) == 0
+    assert _cents(float("nan")) == 0
+    assert _cents(1.0) == 100

@@ -197,23 +197,22 @@ def test_merge_upserts_and_prunes_untouched_files(spark, tmp_path):
         assert rows[k] == f"new-{k}"
     for k in (0, 4, 8, 100, 109):
         assert rows[k] == f"text-{k}"
-    after = {f["path"] for f in t.snapshot()["files"]}
-    # file A (0..9) overlaps source bounds [5,202] and rewrites; file B
-    # (100..109) also overlaps; with bounds pruning only files outside
-    # [5,202] would carry over — append one to prove reference carry-over
+    # every original file overlapped the source bounds [5,202], so all
+    # were rewritten into the merge commit
+    assert not ({f["path"] for f in t.snapshot()["files"]} & before)
+    # append a file outside the next merge's bounds to prove carry-over
     t.append(_mk(spark, 1000, 1010))
-    carried = {f["path"] for f in t.snapshot()["files"]} & after
     v2 = t.merge(spark, spark.range(5, 6).selectExpr(
         "id AS doc_id", "concat('again-', id) AS text").coalesce(1),
         ["doc_id"])
-    final = {f["path"] for f in t.snapshot(v2)["files"]}
-    # the 1000..1009 file is outside [5,5]: must carry over by reference
-    thousand_files = final - carried - before
-    assert any("commit-" in p for p in final)
     assert t.read(spark).filter("doc_id = 5").collect()[0].text == "again-5"
-    assert _ids(t.read(spark, v)) != _ids(t.read(spark, v2)) or True
-    # pruning assertion: files covering 1000..1009 appear in BOTH v2-1
-    # and v2 file lists (same path => not rewritten)
+    # snapshot isolation: the pre-merge version still reads the old text
+    assert t.read(spark, v2 - 1).filter("doc_id = 5") \
+        .collect()[0].text == "new-5"
+    assert _ids(t.read(spark, v2 - 1)) == _ids(t.read(spark, v2))
+    # pruning assertion: files covering 1000..1009 lie outside the
+    # source bounds [5,5] and appear in BOTH v2-1 and v2 file lists
+    # (same path => carried by reference, not rewritten)
     pre = {f["path"] for f in t.snapshot(v2 - 1)["files"]
            if f["min"].get("doc_id", 0) >= 1000}
     post = {f["path"] for f in t.snapshot(v2)["files"]
@@ -271,3 +270,13 @@ def test_schema_evolution_additive(spark, tmp_path):
             for r in t.read(spark, v2).collect()}
     assert rows[0] == ("up-0", 0) and rows[1] == ("up-1", 10)
     assert rows[4] == ("text-4", None)
+
+
+def test_merge_rejects_null_keys(spark, tmp_path):
+    from texoo_spark.tablelog import TableLog
+    t = TableLog(str(tmp_path / "nk"))
+    t.append(_mk(spark, 0, 5))
+    bad = spark.createDataFrame(
+        [(None, "x"), (1, "y")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-null"):
+        t.merge(spark, bad, ["doc_id"])

@@ -262,8 +262,6 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     if info is None:
         raise ValueError("flac: missing STREAMINFO")
     rate, channels, bps, total, md5 = info
-    chans: list[np.ndarray] = [np.empty(0, dtype=np.int64)
-                               for _ in range(channels)]
     out = [[] for _ in range(channels)]
     while pos < len(payload):
         frame_start = pos

@@ -22,6 +22,10 @@ def get_spark(app_name: str = "texoo-spark",
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # deterministic timestamp semantics on any host: naive<->aware
+        # conversions, pandas UDF timestamp localization and streaming
+        # event-time timeouts all key off the session timezone
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

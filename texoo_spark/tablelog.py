@@ -243,11 +243,27 @@ class TableLog:
         day's upserts touch only the files whose key ranges overlap the
         batch, and the optimistic CAS retry recomputes the affected set
         against the new head on a lost race."""
+        import functools
+        import operator
+
         from pyspark.sql import functions as F
         k0 = keys[0]
-        bounds = source.agg(F.min(k0).alias("lo"),
-                            F.max(k0).alias("hi")).collect()[0]
+        any_null = functools.reduce(
+            operator.or_, [F.col(k).isNull() for k in keys])
+        bounds = source.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi"),
+                            F.count("*").alias("n"),
+                            F.count(F.when(any_null, 1))
+                            .alias("nulls")).collect()[0]
         lo, hi = bounds["lo"], bounds["hi"]
+        if bounds["nulls"]:
+            # SQL equality never matches NULL, so NULL-keyed rows could
+            # neither replace nor be replaced — refuse instead of
+            # silently accumulating duplicates
+            raise ValueError(
+                f"merge keys must be non-null ({bounds['nulls']} source "
+                f"rows have a NULL key)")
+        if bounds["n"] == 0:                        # empty source: no-op
+            return self.current_version()
         while True:
             base = self.current_version()
             prev = self.snapshot(base)
@@ -262,8 +278,6 @@ class TableLog:
                 raise ValueError(
                     "merge source schema must equal the table schema "
                     "(evolve first via append(merge_schema=True))")
-            if lo is None:                     # empty source: no-op
-                return base
             affected = [f for f in prev["files"]
                         if _may_match(f, k0, ">=", lo)
                         and _may_match(f, k0, "<=", hi)]
