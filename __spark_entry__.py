@@ -1469,11 +1469,24 @@ def q_tagged_mentions_neural(spark, sf_dir):
 
 
 def q_bemd_segments(spark, sf_dir):
-    """A9-A11 embedding-deviation segmentation, one document per label
-    group: groupBy(label).applyInPandas keeps every group on one executor
-    while groups distribute across the cluster (the scale-correct shape —
-    never a coalesce(1))."""
+    """A6/A9-A11 segmentation, TWO lanes (rows-only: PCA + gaussian
+    smoothing + a recurrent forward are genuinely non-SQL):
+
+    - lane 'emd': embedding-deviation segmentation over the embeddings
+      table, one document per label group — groupBy(label).applyInPandas
+      keeps every group on one executor while groups distribute across
+      the cluster (the scale-correct shape — never a coalesce(1)).
+    - lane 'sector:max' / 'sector:bemd_fixed': the TRAINED SECTOR lane
+      (sector.py — SectorAnnotator.annotate(docs, method) end to end):
+      deterministic fixture-trained sentence BiLSTM broadcast to
+      executors, per-document forward passes in applyInPandas, MAX
+      segmentation over the model's predictions and BEMD_FIXED over its
+      OWN fw/bw hidden-state matrices (the vectors SectorTagger
+      attachVectors exposes), with per-segment topic labels from the
+      mean prediction (attachVectorsToAnnotations)."""
     import numpy as np
+    from texoo_spark.sector import fixture_documents, \
+        sector_segment_document, train_fixture_sector
     from texoo_spark.segment import segment_emd
     emb = _load(spark, sf_dir, "embeddings")
 
@@ -1483,13 +1496,42 @@ def q_bemd_segments(spark, sf_dir):
                         for v in pdf["embedding"]])
         segs = segment_emd(mat)
         return pd.DataFrame({
+            "lane": "emd",
             "label": pdf["label"].iloc[0],
             "seg_idx": range(len(segs)),
             "sent_begin": [s for s, _ in segs],
-            "sent_end": [e for _, e in segs]})
+            "sent_end": [e for _, e in segs],
+            "seg_label": [-1] * len(segs)})
 
-    return (emb.groupBy("label").applyInPandas(
-        run, "label int, seg_idx long, sent_begin long, sent_end long"))
+    schema = ("lane string, label int, seg_idx long, sent_begin long,"
+              " sent_end long, seg_label int")
+    emd_lane = emb.groupBy("label").applyInPandas(run, schema)
+
+    state_bc = spark.sparkContext.broadcast(train_fixture_sector().state())
+    sents_rows = [(d, i, s)
+                  for d, (sents, _) in enumerate(fixture_documents())
+                  for i, s in enumerate(sents)]
+    sdf = spark.createDataFrame(sents_rows, "doc int, sent_idx int,"
+                                            " sentence string")
+
+    def run_sector(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("sent_idx")
+        sents = list(pdf["sentence"])
+        out = []
+        for method, fc in [("max", None), ("bemd_fixed", 3)]:
+            segs, seg_labels, _ = sector_segment_document(
+                state_bc.value, sents, method, fc)
+            for i, ((b, e), sl) in enumerate(zip(segs, seg_labels)):
+                out.append(dict(lane=f"sector:{method}",
+                                label=int(pdf["doc"].iloc[0]),
+                                seg_idx=i, sent_begin=b, sent_end=e,
+                                seg_label=sl))
+        return pd.DataFrame(out, columns=["lane", "label", "seg_idx",
+                                          "sent_begin", "sent_end",
+                                          "seg_label"])
+
+    sector_lane = sdf.groupBy("doc").applyInPandas(run_sector, schema)
+    return emd_lane.unionByName(sector_lane)
 
 
 def q_passage_retrieval(spark, sf_dir):

@@ -1,0 +1,276 @@
+"""SECTOR: sentence-level BiLSTM topic tagger + segmentation lanes.
+
+The reference's flagship model (Arnold et al., TACL 2019 "SECTOR: A
+Neural Model for Coherent Topic Segmentation and Classification";
+texoo-sector/.../tagger/SectorTagger.java:344-390 attachVectors,
+SectorAnnotator.java:104-176 annotate): sentences are encoded to
+vectors, a bidirectional LSTM reads the sentence sequence, a softmax
+head predicts a topic/heading distribution per sentence, and
+segmentation derives EITHER from prediction changes (MAX,
+SectorAnnotator.java:408-437) OR from the deviation of the BLSTM's own
+directional hidden states (EMD/BEMD, SectorAnnotator.java:487-542) —
+the fw/bw matrices consumed by segment.segment_bemd are exactly this
+model's per-direction outputs.
+
+This module trains the model deterministically from a synthetic topic
+fixture (the reference's trained SECTOR weights are not shipped;
+trained-from-fixture is the hermetic ceiling, same policy as
+bilstm.py). The LSTM is the standard non-peephole cell (DL4j's LSTM
+layer, which SectorTagger builds on, has no peepholes — unlike the
+bundled MentionAnnotator's Graves cell in bilstm.py). Correctness is
+anchored by a numerical-vs-analytic gradient check in tests, fixture
+accuracy pinned at 1.0, and Pk == 0 segmentation recovery.
+
+Spark integration mirrors the other model lanes: parameters broadcast
+once, per-document forward passes run batched numpy inside
+groupBy(doc).applyInPandas — documents distribute across executors,
+each document's sentence sequence stays intact on one worker.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+
+__all__ = ["SectorModel", "train_fixture_sector", "fixture_documents",
+           "sector_segment_document", "TOPIC_VOCAB"]
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+class SectorModel:
+    """d_in -> LSTM(H) forward + LSTM(H) backward -> softmax(K) on the
+    concatenated per-sentence states. float64 throughout; RMSProp."""
+
+    def __init__(self, d_in: int, hidden: int, n_classes: int,
+                 seed: int = 42):
+        self.d_in, self.H, self.K = d_in, hidden, n_classes
+        rng = np.random.default_rng(seed)
+
+        def xavier(fan_in, fan_out, shape):
+            lim = np.sqrt(6.0 / (fan_in + fan_out))
+            return rng.uniform(-lim, lim, shape)
+
+        self.p = {}
+        for d in ("f", "b"):
+            # gate order rows: [i; f; g; o] stacked (4H x *)
+            self.p[f"W{d}"] = xavier(d_in, hidden, (4 * hidden, d_in))
+            self.p[f"U{d}"] = xavier(hidden, hidden, (4 * hidden, hidden))
+            bias = np.zeros(4 * hidden)
+            bias[hidden:2 * hidden] = 1.0      # forget-gate bias 1
+            self.p[f"b{d}"] = bias
+        self.p["Wout"] = xavier(2 * hidden, n_classes,
+                                (n_classes, 2 * hidden))
+        self.p["bout"] = np.zeros(n_classes)
+        self._ms = {k: np.zeros_like(v) for k, v in self.p.items()}
+
+    # -- forward -------------------------------------------------------
+
+    def _lstm_dir(self, X: np.ndarray, d: str):
+        """One direction over X [T, d_in] -> (H_out [T, H], cache)."""
+        T = X.shape[0]
+        H = self.H
+        W, U, b = self.p[f"W{d}"], self.p[f"U{d}"], self.p[f"b{d}"]
+        h = np.zeros(H)
+        c = np.zeros(H)
+        Hs = np.zeros((T, H))
+        cache = []
+        order = range(T) if d == "f" else range(T - 1, -1, -1)
+        for t in order:
+            a = W @ X[t] + U @ h + b
+            i = _sigmoid(a[:H])
+            f = _sigmoid(a[H:2 * H])
+            g = np.tanh(a[2 * H:3 * H])
+            o = _sigmoid(a[3 * H:])
+            c_prev, h_prev = c, h
+            c = f * c + i * g
+            tc = np.tanh(c)
+            h = o * tc
+            Hs[t] = h
+            cache.append((t, X[t], h_prev, c_prev, i, f, g, o, c, tc))
+        return Hs, cache
+
+    def forward(self, X: np.ndarray):
+        """X [T, d_in] -> (probs [T, K], fw [T, H], bw [T, H], caches)."""
+        fw, cf = self._lstm_dir(X, "f")
+        bw, cb = self._lstm_dir(X, "b")
+        Z = np.concatenate([fw, bw], axis=1)
+        logits = Z @ self.p["Wout"].T + self.p["bout"]
+        logits -= logits.max(axis=1, keepdims=True)
+        e = np.exp(logits)
+        probs = e / e.sum(axis=1, keepdims=True)
+        return probs, fw, bw, (cf, cb, Z)
+
+    # -- backward ------------------------------------------------------
+
+    def _backprop_dir(self, d: str, cache, dH: np.ndarray, grads: dict):
+        H = self.H
+        W, U = self.p[f"W{d}"], self.p[f"U{d}"]
+        dc_next = np.zeros(H)
+        dh_next = np.zeros(H)
+        for (t, x, h_prev, c_prev, i, f, g, o, c, tc) in reversed(cache):
+            dh = dH[t] + dh_next
+            do = dh * tc
+            dct = dh * o * (1 - tc * tc) + dc_next
+            di = dct * g
+            df = dct * c_prev
+            dg = dct * i
+            dc_next = dct * f
+            da = np.concatenate([di * i * (1 - i), df * f * (1 - f),
+                                 dg * (1 - g * g), do * o * (1 - o)])
+            grads[f"W{d}"] += np.outer(da, x)
+            grads[f"U{d}"] += np.outer(da, h_prev)
+            grads[f"b{d}"] += da
+            dh_next = U.T @ da
+
+    def loss_and_grads(self, X: np.ndarray, y: np.ndarray):
+        """Mean cross-entropy over the document + full-parameter grads."""
+        T = X.shape[0]
+        probs, fw, bw, (cf, cb, Z) = self.forward(X)
+        loss = -np.log(probs[np.arange(T), y] + 1e-12).mean()
+        dlog = probs.copy()
+        dlog[np.arange(T), y] -= 1.0
+        dlog /= T
+        grads = {k: np.zeros_like(v) for k, v in self.p.items()}
+        grads["Wout"] = dlog.T @ Z
+        grads["bout"] = dlog.sum(axis=0)
+        dZ = dlog @ self.p["Wout"]
+        self._backprop_dir("f", cf, dZ[:, :self.H], grads)
+        self._backprop_dir("b", cb, dZ[:, self.H:], grads)
+        return loss, grads
+
+    def train(self, docs_X: list[np.ndarray], docs_y: list[np.ndarray],
+              epochs: int = 60, lr: float = 0.02, decay: float = 0.95):
+        for _ in range(epochs):
+            for X, y in zip(docs_X, docs_y):
+                _, grads = self.loss_and_grads(X, y)
+                for k, g in grads.items():
+                    ms = self._ms[k]
+                    ms *= decay
+                    ms += (1 - decay) * g * g
+                    self.p[k] -= lr * g / (np.sqrt(ms) + 1e-8)
+
+    def accuracy(self, docs_X, docs_y) -> float:
+        hit = tot = 0
+        for X, y in zip(docs_X, docs_y):
+            probs, _, _, _ = self.forward(X)
+            hit += int((probs.argmax(axis=1) == y).sum())
+            tot += len(y)
+        return hit / max(tot, 1)
+
+    # -- (de)serialization for broadcast / disk cache -------------------
+
+    def state(self) -> dict:
+        return {k: v.copy() for k, v in self.p.items()}
+
+    def load_state(self, state: dict):
+        for k in self.p:
+            self.p[k] = np.asarray(state[k], dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# deterministic topic fixture (hermetic training data)
+
+TOPIC_VOCAB = {
+    0: ["tokenizer", "sentence", "offset", "span", "annotation"],
+    1: ["parquet", "shuffle", "partition", "broadcast", "executor"],
+    2: ["huffman", "entropy", "quantize", "bitstream", "codec"],
+    3: ["watermark", "timeout", "session", "streaming", "state"],
+}
+
+
+def fixture_documents(n_docs: int = 6, block: int = 8,
+                      seed: int = 7) -> list[tuple[list[str], np.ndarray]]:
+    """Deterministic labeled documents: each doc is a sequence of topic
+    blocks (`block` sentences each, topics rotating from a per-doc
+    offset), each sentence 5 words drawn from its topic's vocabulary."""
+    rng = np.random.default_rng(seed)
+    docs = []
+    topics = sorted(TOPIC_VOCAB)
+    for d in range(n_docs):
+        order = [topics[(d + j) % len(topics)] for j in range(3)]
+        sents: list[str] = []
+        labels: list[int] = []
+        for topic in order:
+            vocab = TOPIC_VOCAB[topic]
+            for _ in range(block):
+                words = [vocab[rng.integers(len(vocab))] for _ in range(5)]
+                sents.append(" ".join(words))
+                labels.append(topic)
+        docs.append((sents, np.array(labels)))
+    return docs
+
+
+def _cache_path(d_in: int, hidden: int, seed: int) -> str:
+    key = hashlib.sha256(
+        f"sector-v1-{d_in}-{hidden}-{seed}".encode()).hexdigest()[:16]
+    root = os.environ.get("TEXOO_CACHE_DIR",
+                          os.path.expanduser("~/.cache/texoo_spark"))
+    return os.path.join(root, f"sector_fixture_{key}.npz")
+
+
+def train_fixture_sector(dim: int = 64, hidden: int = 24,
+                         seed: int = 42) -> SectorModel:
+    """Deterministically trained fixture model (disk-cached like the
+    bilstm lane; a fresh process pays training once, ~seconds)."""
+    from texoo_spark.sentemb import sentence_embedding_batch
+    model = SectorModel(dim, hidden, len(TOPIC_VOCAB), seed=seed)
+    path = _cache_path(dim, hidden, seed)
+    if os.path.exists(path):
+        with np.load(path) as z:
+            model.load_state({k: z[k] for k in z.files})
+        return model
+    docs = fixture_documents()
+    docs_X = [sentence_embedding_batch(s, dim) for s, _ in docs]
+    docs_y = [y for _, y in docs]
+    model.train(docs_X, docs_y)
+    if model.accuracy(docs_X, docs_y) < 1.0:      # pragma: no cover
+        raise RuntimeError("sector fixture failed to converge")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp.npz"                 # savez keeps .npz names as-is
+    np.savez(tmp, **model.state())
+    os.replace(tmp, path)
+    return model
+
+
+def sector_segment_document(state: dict, sentences: list[str],
+                            method: str = "bemd",
+                            fixed_count: int | None = None):
+    """One document through the full SECTOR lane
+    (SectorAnnotator.annotate(docs, method), SectorAnnotator.java:104-176):
+    embed -> BiLSTM -> segmentation by
+
+    - 'max':  prediction-change segmentation over the model's softmax
+      outputs (applySectionsFromTargetLabels, java:408-437);
+    - 'bemd': deviation of the model's OWN fw/bw hidden-state matrices
+      (java:507-542 via segment.segment_bemd — the matrices SECTOR's
+      attachVectors exposes are exactly these directional outputs);
+    - 'bemd_fixed': same with exactly `fixed_count` segments.
+
+    Segment labels come from the mean prediction per span
+    (attachVectorsToAnnotations, java:332-363). Returns
+    (segments [(begin, end)], seg_labels, sentence_labels)."""
+    from texoo_spark.segment import segment_bemd, \
+        segments_from_target_labels
+    from texoo_spark.sentemb import sentence_embedding_batch
+    hidden = state["Wout"].shape[1] // 2
+    model = SectorModel(state["Wf"].shape[1], hidden,
+                        state["Wout"].shape[0])
+    model.load_state(state)
+    X = sentence_embedding_batch(sentences, model.d_in)
+    probs, fw, bw, _ = model.forward(X)
+    if method == "max":
+        segs = segments_from_target_labels(probs, np.eye(model.K))
+    elif method == "bemd":
+        segs = segment_bemd(fw, bw, pca_dims=min(16, hidden))
+    elif method == "bemd_fixed":
+        segs = segment_bemd(fw, bw, pca_dims=min(16, hidden),
+                            fixed_count=fixed_count)
+    else:
+        raise ValueError(f"unknown sector method {method!r}")
+    seg_labels = [int(probs[b:e].mean(axis=0).argmax()) for b, e in segs]
+    return segs, seg_labels, probs.argmax(axis=1)
