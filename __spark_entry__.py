@@ -261,8 +261,14 @@ def q_running_user_totals(spark, sf_dir):
       This is the BATCH twin of sessions.stream_sessionize (the
       applyInPandasWithState custom stateful operator, same semantics,
       tested in tests/test_sessions.py); the oracle replays the lag +
-      running-sum-of-breaks construction in SQL."""
-    from texoo_spark.sessions import session_stats
+      running-sum-of-breaks construction in SQL.
+
+    Session bounds are emitted as BIGINT epoch-microseconds
+    (`start_us`/`end_us`, -1 in the running lane) rather than raw
+    timestamps so the probe output is hash-render-proof: sub-second /
+    NULL timestamp rendering differed between the driver's Spark and
+    DuckDB collection paths in round 3 (the only red row)."""
+    from texoo_spark.sessions import epoch_us, session_stats
     ev = _load(spark, sf_dir, "events", widen=False)
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -271,14 +277,16 @@ def q_running_user_totals(spark, sf_dir):
                          F.count("*").over(w).alias("n"),
                          F.sum(F.round(F.col("value") * 100).cast("long"))
                          .over(w).alias("cents"))
-               .withColumn("start_ts", F.lit(None).cast("timestamp"))
-               .withColumn("end_ts", F.lit(None).cast("timestamp")))
-    sessions = (session_stats(ev, "user_id", "ts", gap_sec=28800,
-                              value_col="value", order_cols=("event_id",))
-                .select(F.lit("sessions").alias("lane"), "user_id",
-                        F.col("session_idx").cast("long").alias("seq"),
-                        F.col("n_events").alias("n"), "cents",
-                        "start_ts", "end_ts"))
+               .withColumn("start_us", F.lit(-1).cast("long"))
+               .withColumn("end_us", F.lit(-1).cast("long")))
+    stats = session_stats(ev, "user_id", "ts", gap_sec=28800,
+                          value_col="value", order_cols=("event_id",))
+    sessions = stats.select(
+        F.lit("sessions").alias("lane"), "user_id",
+        F.col("session_idx").cast("long").alias("seq"),
+        F.col("n_events").alias("n"), "cents",
+        epoch_us(stats, "start_ts").alias("start_us"),
+        epoch_us(stats, "end_ts").alias("end_us"))
     return running.unionByName(sessions)
 
 
@@ -2073,18 +2081,19 @@ def oracle_sql() -> dict[str, str]:
             " s AS (SELECT user_id, session_idx,"
             " COUNT(*) AS n,"
             " CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)"
-            " AS cents, MIN(ts) AS start_ts, MAX(ts) AS end_ts FROM s1"
+            " AS cents, CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,"
+            " CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us FROM s1"
             " GROUP BY 1, 2)"
             " SELECT 'running' AS lane, user_id,"
             " CAST(event_id AS BIGINT) AS seq,"
             " COUNT(*) OVER w AS n,"
             " CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)"
-            " AS cents, CAST(NULL AS TIMESTAMP) AS start_ts,"
-            " CAST(NULL AS TIMESTAMP) AS end_ts FROM events"
+            " AS cents, CAST(-1 AS BIGINT) AS start_us,"
+            " CAST(-1 AS BIGINT) AS end_us FROM events"
             " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
             " UNION ALL SELECT 'sessions' AS lane, user_id, session_idx"
-            " AS seq, n, cents, start_ts, end_ts FROM s"),
+            " AS seq, n, cents, start_us, end_us FROM s"),
         "dedup_prefix": (
             "SELECT array_to_string(string_split(text, ' ')[1:3], ' ')"
             " AS prefix_key, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id"

@@ -196,3 +196,33 @@ def test_cents_half_up_and_null_tolerance():
     assert _cents(None) == 0
     assert _cents(float("nan")) == 0
     assert _cents(1.0) == 100
+
+
+def test_epoch_us_ntz_and_ltz(spark):
+    """epoch_us is exact integer micros for both timestamp flavors and
+    NULL-propagating; probe outputs use it (never raw timestamps) so
+    the driver's value hash cannot diverge on sub-second rendering."""
+    from texoo_spark.sessions import epoch_us
+    df = spark.createDataFrame(
+        [("2021-03-04 05:06:07.123456",), (None,)], "s string")
+    ntz = df.select(F.to_timestamp_ntz("s").alias("t"))
+    ltz = df.select(F.to_timestamp("s").alias("t"))
+    want = 1614834367123456  # datetime(2021,3,4,5,6,7,123456) UTC
+    for frame in (ntz, ltz):
+        vals = [r.us for r in
+                frame.select(epoch_us(frame, "t").alias("us")).collect()]
+        assert vals == [want, None]
+        assert dict(frame.select(
+            epoch_us(frame, "t").alias("us")).dtypes)["us"] == "bigint"
+
+
+def test_running_user_totals_probe_has_no_timestamp_columns(spark):
+    """Round-3 driver red row: raw/NULL timestamps hash-rendered
+    differently between the driver's Spark and DuckDB paths. Pin that
+    the probe schema is timestamp-free (BIGINT epoch micros only)."""
+    import __spark_entry__ as entry
+    df = entry.queries()["running_user_totals"](
+        spark, "/root/testdata/sf0.001")
+    assert not [c for c, t in df.dtypes if t.startswith("timestamp")]
+    assert dict(df.dtypes)["start_us"] == "bigint"
+    assert dict(df.dtypes)["end_us"] == "bigint"

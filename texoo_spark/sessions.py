@@ -29,6 +29,22 @@ SESSION_STATS_COLS = ["session_idx", "n_events", "cents",
                       "start_ts", "end_ts"]
 
 
+def epoch_us(df: DataFrame, col: str):
+    """Epoch-microseconds of a timestamp column as BIGINT, exact and
+    timezone-free for both TIMESTAMP and TIMESTAMP_NTZ (unix_micros
+    rejects NTZ; timestampdiff against an NTZ epoch literal rejects
+    LTZ — branch on the actual column type). Probe outputs emit this
+    instead of raw timestamps so value hashing cannot be bitten by
+    sub-second / NULL timestamp rendering differences between engines
+    (DuckDB twin: ``epoch_us(col)``)."""
+    dtype = dict(df.dtypes)[col]
+    if dtype == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND,"
+            f" to_timestamp_ntz('1970-01-01 00:00:00'), {col})")
+    return F.unix_micros(F.col(col))
+
+
 def sessionize(df: DataFrame, key_col: str, ts_col: str,
                gap_sec: int, order_cols: tuple = ()) -> DataFrame:
     """Assign a 1-based ``session_idx`` per key: a new session starts at
