@@ -141,3 +141,38 @@ def test_v1_metrics_on_fixture():
         fn += len(gold - pred)
     p, r, f1 = prf1(tp, fp, fn)
     assert (p, r, f1) == (1.0, 1.0, 1.0)
+
+
+def test_bundled_model_data_matches_reference_bytes():
+    """The bundled copies of the reference-shipped public model data
+    (trigram vocab, annotator.xml, CoNLL fixture) are byte-identical to
+    the reference checkout when it is present; the lanes themselves only
+    ever read the bundled copies (no runtime reference dependency)."""
+    import os
+    from texoo_spark.maxent import resource_path
+    ref_model = ("/root/reference/texoo-entity-recognition/src/main/"
+                 "resources/models/"
+                 "MentionAnnotator_en_NER-GENERIC_WikiNER+tri_20170309")
+    ref_fix = ("/root/reference/texoo-entity-recognition/src/test/"
+               "resources/datasets/CoNLL2003.conll")
+    pairs = [(os.path.join(ref_model, "trigram.tsv.gz"), "trigram.tsv.gz"),
+             (os.path.join(ref_model, "annotator.xml"), "annotator.xml"),
+             (ref_fix, "CoNLL2003.conll")]
+    for ref, name in pairs:
+        if not os.path.exists(ref):
+            pytest.skip("reference checkout absent")
+        with open(ref, "rb") as a, open(resource_path(name), "rb") as b:
+            assert a.read() == b.read(), name
+
+
+def test_bundled_weights_load_and_pin_goldens():
+    """The shipped float32 weight bundle reproduces the float64
+    training result's pinned behavior: fixture span F1 1.0 and the
+    doc-0 golden mention boundaries (so shipping weights instead of
+    training in driver paths loses nothing)."""
+    from texoo_spark.maxent import bundled_path
+    assert bundled_path("bilstm_fixture_5f26d66dcd754320.npz")
+    model, feat, info = train_fixture_bilstm()
+    assert info["f1"] == 1.0
+    docs = fixture_documents()
+    assert fixture_span_f1(model, feat, docs) == 1.0

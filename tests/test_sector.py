@@ -58,7 +58,10 @@ def test_deterministic_init_and_training(model):
         [sentence_embedding_batch(s, 64) for s, _ in docs],
         [y for _, y in docs])
     assert acc == 1.0
-    m2 = train_fixture_sector()
+    # the default path loads the bundled resources npz; force_retrain
+    # actually trains — bit-equality proves the shipped weights ARE the
+    # deterministic training result.
+    m2 = train_fixture_sector(force_retrain=True)
     assert all(np.array_equal(m2.p[k], model.p[k]) for k in model.p)
 
 

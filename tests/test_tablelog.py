@@ -76,6 +76,32 @@ def test_delete_without_prune_hint_rewrites_all(spark, tmp_path):
     assert _ids(t.read(spark)) == list(range(1, 20, 2))
 
 
+def test_delete_retains_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates to NULL
+    (here: NULL doc_id under ``doc_id % 2 = 0``) must be RETAINED, not
+    silently dropped via NOT(NULL)=NULL filtering."""
+    from texoo_spark.tablelog import TableLog
+    t = TableLog(str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (None, "null-key")],
+        "doc_id long, text string").coalesce(1))
+    t.delete_where(spark, "doc_id % 2 = 0")
+    rows = {(r.doc_id, r.text) for r in t.read(spark).collect()}
+    assert rows == {(1, "b"), (None, "null-key")}
+
+
+def test_scan_residual_predicate_handles_awkward_quoting(spark, tmp_path):
+    """The row-level residual filter is built with Column ops, so values
+    containing both quote kinds (repr-hostile) still match exactly."""
+    from texoo_spark.tablelog import TableLog
+    nasty = "it's a \"mixed\" quote"
+    t = TableLog(str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(1, nasty), (2, "plain")], "doc_id long, text string")
+        .coalesce(1))
+    assert _ids(t.scan(spark, "text", "=", nasty)) == [1]
+
+
 def test_scan_file_skipping(spark, tmp_path):
     from texoo_spark.tablelog import TableLog
     t = TableLog(str(tmp_path / "t"))

@@ -60,11 +60,14 @@ def test_train_conll_tagger_deterministic_and_pinned_f1():
     assert enc.size == 244
     assert tagger.weights.shape == (tg.SURFACE_SIZE + 244, len(tg.TAGS))
 
-    # bit-identical retrain (zero init, full-batch GD, float64, no RNG)
-    tg._TRAINED_CACHE.clear()
-    tagger2, _ = tg.train_conll_tagger()
+    # bit-identical retrain (zero init, full-batch GD, float64, no RNG):
+    # the default path loads the bundled resources/tagger_conll.npz;
+    # force_retrain actually trains — both must agree exactly, proving
+    # the shipped weights ARE the deterministic training result.
+    tagger2, enc2 = tg.train_conll_tagger(force_retrain=True)
     assert np.array_equal(tagger.weights, tagger2.weights)
     assert np.array_equal(tagger.bias, tagger2.bias)
+    assert enc.vocab == enc2.vocab
 
     # train-set STRONG span F1 pinned at 1.0 (16 gold mentions, 0 fp, 0 fn)
     tp = fp = fn = 0

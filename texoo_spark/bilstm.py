@@ -62,8 +62,13 @@ DEFAULT_CONF = {"nin": 24680, "ffw": 300, "lstm": 100, "nout": 5,
 
 def parse_annotator_xml(path: str | None = None) -> dict:
     """Layer configuration out of the bundled annotator.xml (the DL4j
-    MultiLayerConfiguration JSON inside the component CDATA)."""
-    path = path or os.path.join(MODEL_DIR, "annotator.xml")
+    MultiLayerConfiguration JSON inside the component CDATA). The file is
+    bundled in texoo_spark/resources (byte-identical copy of the
+    reference's shipped model config — public Apache-2.0 model data, same
+    adjudication as the OpenNLP .bin files), so the lane has no runtime
+    dependency on the reference checkout."""
+    from texoo_spark.maxent import resource_path
+    path = path or resource_path("annotator.xml")
     with open(path, encoding="utf-8") as f:
         xml = f.read()
     m = re.search(r"<conf><!\[CDATA\[(.*?)\]\]></conf>", xml, re.S)
@@ -88,8 +93,12 @@ def parse_annotator_xml(path: str | None = None) -> dict:
 
 def load_trigram_vocab(path: str | None = None) -> list[str]:
     """The shipped trigram vocabulary in its index order
-    (trigram.tsv.gz rows: index \\t ngram \\t frequency)."""
-    path = path or os.path.join(MODEL_DIR, "trigram.tsv.gz")
+    (trigram.tsv.gz rows: index \\t ngram \\t frequency). Bundled copy of
+    the reference's shipped model data (public Apache-2.0) in
+    texoo_spark/resources — works from texoo_spark.zip on hosts without
+    the reference checkout."""
+    from texoo_spark.maxent import resource_path
+    path = path or resource_path("trigram.tsv.gz")
     vocab: list[str] = []
     with gzip.open(path, "rt", encoding="utf-8") as f:
         for line in f:
@@ -529,16 +538,25 @@ def train_fixture_bilstm(max_epochs: int = 300):
     featurizer, info) where info carries the achieved span F1 and
     epochs run."""
     if "model" not in _FIXTURE_CACHE:
-        conf = (parse_annotator_xml() if os.path.exists(MODEL_DIR)
-                else None)
+        from texoo_spark.maxent import bundled_path
+        conf = parse_annotator_xml()
         vocab = load_trigram_vocab()
         feat = ReferenceFeaturizer(vocab)
         model = BiLSTMTagger(conf)
         cache_file = _disk_cache_path(model.conf, len(vocab))
-        if os.path.exists(cache_file):
-            data = np.load(cache_file)
+        # pre-trained weights ship in resources/ (float32, ~27 MB
+        # compressed vs 62 MB float64) so no driver/executor ever pays
+        # the ~40 s first-process training; ~/.cache keeps the float64
+        # original; training below stays as the reproducibility path
+        # (tests retrain-and-compare).
+        bundled = bundled_path(os.path.basename(cache_file))
+        src = bundled if bundled else (
+            cache_file if os.path.exists(cache_file) else None)
+        if src:
+            data = np.load(src)
             for k in model.p:
-                model.p[k] = data[k]
+                model.p[k] = np.ascontiguousarray(
+                    data[k].astype(np.float64))
             info = {"f1": float(data["_f1"][0]),
                     "epochs": int(data["_epochs"][0]),
                     "final_loss": float(data["_final_loss"][0])}

@@ -48,20 +48,34 @@ def resource_path(name: str) -> str:
     is materialized once per machine into the temp dir via
     importlib.resources (zipimport's resource reader) — zipfile.ZipFile
     needs a real file. Atomic rename keeps concurrent executor workers
-    safe."""
+    safe; the temp filename carries a content hash so an updated resource
+    (new app version on a shared host) materializes fresh instead of
+    silently reusing stale bytes."""
     p = os.path.join(_RES_DIR, name)
     if os.path.exists(p):
         return p
+    import hashlib
     import importlib.resources as ir
     import tempfile
     ref = ir.files("texoo_spark").joinpath("resources", name)
-    tmp = os.path.join(tempfile.gettempdir(), f"texoo_res_{name}")
+    data = ref.read_bytes()
+    tag = hashlib.sha256(data).hexdigest()[:12]
+    tmp = os.path.join(tempfile.gettempdir(), f"texoo_res_{tag}_{name}")
     if not os.path.exists(tmp):
         part = f"{tmp}.{os.getpid()}.part"
         with open(part, "wb") as f:
-            f.write(ref.read_bytes())
+            f.write(data)
         os.replace(part, tmp)
     return tmp
+
+
+def bundled_path(name: str) -> str | None:
+    """resource_path, but None when the resource isn't bundled (used for
+    optional pre-trained weight caches)."""
+    try:
+        return resource_path(name)
+    except (FileNotFoundError, OSError, ModuleNotFoundError):
+        return None
 
 
 class _JavaDataInput:

@@ -214,14 +214,23 @@ def _cache_path(d_in: int, hidden: int, seed: int) -> str:
 
 
 def train_fixture_sector(dim: int = 64, hidden: int = 24,
-                         seed: int = 42) -> SectorModel:
+                         seed: int = 42,
+                         force_retrain: bool = False) -> SectorModel:
     """Deterministically trained fixture model (disk-cached like the
     bilstm lane; a fresh process pays training once, ~seconds)."""
+    from texoo_spark.maxent import bundled_path
     from texoo_spark.sentemb import sentence_embedding_batch
     model = SectorModel(dim, hidden, len(TOPIC_VOCAB), seed=seed)
     path = _cache_path(dim, hidden, seed)
-    if os.path.exists(path):
-        with np.load(path) as z:
+    # pre-trained weights ship in resources/ (exact float64 copy of the
+    # deterministic training result) so fresh driver/executor processes
+    # never pay training; local ~/.cache is the fallback, training the
+    # reproducibility path (tests retrain-and-compare via force_retrain).
+    src = None if force_retrain else (
+        bundled_path(os.path.basename(path)) or (
+            path if os.path.exists(path) else None))
+    if src:
+        with np.load(src) as z:
             model.load_state({k: z[k] for k in z.files})
         return model
     docs = fixture_documents()

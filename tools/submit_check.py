@@ -41,5 +41,33 @@ assert r["n_turns"] == 2000, r
 from texoo_spark.maxent import maxent_tokenize_pos
 toks = maxent_tokenize_pos("Dr. Smith's house-boat, arrived (yesterday).")
 assert len(toks) >= 8, toks
+
+# neural lanes must work WITHOUT the reference checkout: every input
+# (CoNLL fixture, trigram vocab, annotator.xml, pre-trained weights) is
+# bundled in the zip's resources/. Simulate a reference-less host by
+# failing any open() under /root/reference.
+import builtins
+_real_open = builtins.open
+def _no_reference_open(path, *a, **kw):
+    if isinstance(path, str) and path.startswith("/root/reference"):
+        raise FileNotFoundError(f"reference checkout blocked: {path}")
+    return _real_open(path, *a, **kw)
+builtins.open = _no_reference_open
+try:
+    from texoo_spark.tagger import train_conll_tagger
+    tagger, enc = train_conll_tagger()   # loads bundled npz
+    assert enc.size == 244
+    spans = tagger.tag_tokens(["EU", "rejects", "German", "call"], [4])
+    assert spans, "trained tagger produced no spans on CoNLL opener"
+    from texoo_spark.bilstm import load_trigram_vocab, parse_annotator_xml
+    assert len(load_trigram_vocab()) == 24665
+    assert parse_annotator_xml()["nin"] == 24680
+    from texoo_spark.sector import train_fixture_sector
+    assert train_fixture_sector().p            # loads bundled npz
+    from texoo_spark.bilstm import train_fixture_bilstm
+    _m, _f, info = train_fixture_bilstm()     # loads bundled npz (f32)
+    assert info["f1"] == 1.0, info
+finally:
+    builtins.open = _real_open
 print("SUBMIT-CHECK-OK", r)
 spark.stop()
