@@ -28,6 +28,9 @@ GAZETTEER_TERMS = ["spark", "table", "scan", "join", "filter"]
 GOLD_TERMS = ("spark", "table", "scan")
 PRED_TERMS = ("table", "scan", "join")
 STOPLIST = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+# per-language stoplists for the A3 routed lane (quality_scores)
+STOPLIST_DE = ("der", "die", "das", "und", "ist", "ein", "nicht", "mit",
+               "auf", "für")
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str,
@@ -63,9 +66,12 @@ def _extracted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "text", "doc.*"))
 
 
-def _extracted_docs_lean(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _extracted_docs_lean(spark: SparkSession, sf_dir: str,
+                         where=None) -> DataFrame:
     """Lean variant for queries that never read token surfaces: no
-    tok_text through Arrow (EXTRACT_LEAN_SCHEMA, no HTML gate)."""
+    tok_text through Arrow (EXTRACT_LEAN_SCHEMA, no HTML gate).
+    ``where`` (a Column) filters the scan BEFORE the extraction UDF so
+    subset lanes never pay full-table Python extraction."""
     from texoo_spark.extract import _extract_batch_lean
     from pyspark.sql.functions import pandas_udf
     from texoo_spark.schema import EXTRACT_LEAN_SCHEMA
@@ -75,8 +81,10 @@ def _extracted_docs_lean(spark: SparkSession, sf_dir: str) -> DataFrame:
     def lean_udf(texts: pd.Series) -> pd.DataFrame:
         return _extract_batch_lean(texts, textops.DISCARD)
 
-    return (_load(spark, sf_dir, "documents")
-            .withColumn("doc", lean_udf(F.col("text")))
+    docs = _load(spark, sf_dir, "documents")
+    if where is not None:
+        docs = docs.filter(where)
+    return (docs.withColumn("doc", lean_udf(F.col("text")))
             .select("doc_id", "text", "doc.*"))
 
 
@@ -174,13 +182,39 @@ def q_html_main_content(spark, sf_dir):
 
 
 def q_gazetteer_matches(spark, sf_dir):
-    """A1 gazetteer matching: boundary-aligned match counts per doc, fused
-    extract+match in one Python hop (make_gazetteer_udf remains the
-    span-emitting two-stage API)."""
+    """A1 gazetteer matching + A14 model-bundle round trip. The primary
+    column stays the fused extract+match single Python hop over every
+    doc. For docs < 100 the SAME stage also runs as a serialized
+    annotator bundle: the gazetteer annotator (terms + case strategy in
+    params) is written with save_pipeline, reconstructed with
+    load_pipeline through the builder registry, and the LOADED pipeline
+    produces n_matches_bundle over lean-extracted docs — any drift in
+    bundle serialization breaks the oracle's equality of the two
+    columns."""
+    import tempfile
+
+    from texoo_spark.annotator import (Pipeline, gazetteer_annotator,
+                                       load_pipeline, save_pipeline)
     from texoo_spark.udfs import make_gazetteer_count_udf
     gaz = make_gazetteer_count_udf(GAZETTEER_TERMS, "CASE_SENSITIVE")
     docs = _load(spark, sf_dir, "documents")
-    return docs.select("doc_id", gaz(F.col("text")).alias("n_matches"))
+    fused = docs.select("doc_id", gaz(F.col("text")).alias("n_matches"))
+
+    p = Pipeline()
+    p.stages.append(gazetteer_annotator(list(GAZETTEER_TERMS),
+                                        "CASE_SENSITIVE"))
+    path = os.path.join(tempfile.mkdtemp(prefix="texoo_bundle_"),
+                        "pipeline.json")
+    save_pipeline(p, path)
+    loaded = load_pipeline(path)
+    sub = _extracted_docs_lean(spark, sf_dir,
+                               where=F.col("doc_id") < 100)
+    bundle = (loaded.run(sub)
+              .select("doc_id", F.size("m_begin").cast("long")
+                      .alias("n_matches_bundle")))
+    # bundle side is <= 100 rows: broadcast so the fused lane (the full
+    # scan) never shuffles
+    return fused.join(F.broadcast(bundle), "doc_id", "left")
 
 
 def q_token_prf(spark, sf_dir):
@@ -402,11 +436,18 @@ def q_knn_cosine(spark, sf_dir):
 
 
 def q_quality_scores(spark, sf_dir):
-    """Per-document curation profile in one projection: quality features
-    as pure JVM-side SQL expressions (length/digit/stopword ratios),
-    the windowed-min-FNV document fingerprint, and language id — the
-    columns a 100TB curation job computes in its first scan over every
-    document (one Python hop for the two UDF columns, zero shuffles)."""
+    """Per-document curation profile in one projection — plus A3
+    language routing. Quality features are pure JVM-side SQL expressions
+    (length/digit/stopword ratios), the windowed-min-FNV document
+    fingerprint and language id are the one Python hop — the columns a
+    100TB curation job computes in its first scan over every document.
+    The profile is then dispatched through route_by_language
+    (GenericMentionAnnotator semantics): an 'en' and a 'de' annotator
+    each stamp their route and count THEIR language's stopwords; every
+    other/unknown language falls back to the default ('en') annotator.
+    The profile is persisted once so the routed union's branches filter
+    a cache instead of re-running the UDF scan per branch."""
+    from texoo_spark.annotator import Annotator, route_by_language
     from texoo_spark.extract import detect_language_udf
     from texoo_spark.udfs import fingerprint_udf
     docs = _load(spark, sf_dir, "documents")
@@ -417,12 +458,31 @@ def q_quality_scores(spark, sf_dir):
                                                   "[0-9]", ""))) / n_chars
     stop_ratio = (F.size(F.filter(words, lambda w: w.isin(*STOPLIST)))
                   / F.size(words))
-    return docs.select(
-        "doc_id", n_words.alias("n_words"),
+    profile = docs.select(
+        "doc_id", "text", n_words.alias("n_words"),
         F.round(digits, 6).alias("digit_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         fingerprint_udf(F.col("text")).alias("fingerprint"),
-        detect_language_udf(F.col("text")).alias("lang_pred"))
+        detect_language_udf(F.col("text")).alias("lang_pred")).persist()
+
+    def stop_annotator(lang: str, stops: tuple) -> Annotator:
+        def fn(df):
+            ws = F.split(F.col("text"), " ")
+            return (df.withColumn("route", F.lit(lang))
+                    .withColumn("routed_stopwords",
+                                F.size(F.filter(
+                                    ws, lambda w: w.isin(*stops)))
+                                .cast("long")))
+        return Annotator(f"stopwords:{lang}", fn, {"lang": lang})
+
+    routed = route_by_language(
+        profile,
+        {"en": stop_annotator("en", STOPLIST),
+         "de": stop_annotator("de", STOPLIST_DE)},
+        default_lang="en", lang_col="lang_pred")
+    return routed.select("doc_id", "n_words", "digit_ratio",
+                         "stopword_ratio", "fingerprint", "lang_pred",
+                         "route", "routed_stopwords")
 
 
 def q_conv_rebase(spark, sf_dir):
@@ -487,7 +547,16 @@ def q_max_overlap_token(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing, FOUR lanes in one probe:
+    """Multimodal plumbing, FIVE lanes in one probe:
+
+    - lane 'mp4:decoded': the FULL in-container codec loop — synthetic
+      Motion-JPEG MP4s (real baseline-JPEG bitstreams as samples,
+      fourcc 'mjpa') are container-parsed, keyframe-sampled every
+      500 ms, each selected frame's bytes sliced JVM-side, and ONLY the
+      sampled frames' bytes enter Python to be entropy-decoded
+      (jpegcodec T.81) into pixel statistics. Flat-8x8-block frames at
+      quality 100 decode bit-exactly, so the oracle states every
+      decoded stat in closed form from (media_id, sample_idx).
 
     - lane 'mp4': REAL ISO-BMFF container parsing (mp4box.py). Synthetic
       spec-conformant MP4s (sample bytes/sizes/timing closed-form in
@@ -607,7 +676,36 @@ def q_media_features(spark, sf_dir):
                         F.lit(None).cast("double").alias("v_mean"),
                         F.col("offset").cast("double").alias("v_first"),
                         F.col("duration_ms").cast("double").alias("v_last")))
-    return frames_lane.unionByName(decoded_lane).unionByName(mp4_lane)
+
+    from texoo_spark.multimodal import decode_jpeg_frame_stats
+
+    def synth_mj(batches):
+        from texoo_spark.mp4box import synth_mjpeg_mp4
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "payload": [synth_mjpeg_mp4(int(i))
+                             for i in pdf["media_id"]]},
+                columns=["media_id", "payload"])
+
+    mj_videos = (docs.select(F.col("doc_id").alias("media_id"))
+                 .filter((F.col("media_id") >= 90) & (F.col("media_id") < 114))
+                 .mapInPandas(synth_mj, "media_id long, payload binary")
+                 .persist())
+    mj_picked = sample_sync_frames(parse_mp4_samples(mj_videos),
+                                   every_ms=500)
+    mj_stats = decode_jpeg_frame_stats(
+        slice_frame_bytes(mj_picked, mj_videos))
+    mjpeg_lane = mj_stats.select(
+        F.lit("mp4:decoded").alias("lane"), "media_id",
+        F.col("dts_ms").alias("frame_ts_ms"),
+        F.lit(None).cast("string").alias("sha256"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.lit("video/mjpeg").alias("mime"),
+        "width", "height", "v_count",
+        F.round("v_mean", 6).alias("v_mean"), "v_first", "v_last")
+    return (frames_lane.unionByName(decoded_lane)
+            .unionByName(mp4_lane).unionByName(mjpeg_lane))
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1304,15 +1402,20 @@ def q_classification_prf(spark, sf_dir):
 
 
 def q_max_segments(spark, sf_dir):
-    """A8 MAX segmentation (applySectionsFromTargetLabels), one document
-    per label group via applyInPandas. Per-sentence predictions are
-    one-hot at 1 + argmax(|embedding|) (index 0 reserved as the stable
-    tie-filler so the running-mean hysteresis never sticks), which makes
-    the operator's output — segment = run of equal hot labels — exactly
-    predictable by the SQL oracle while the full running-mean/top-k
-    machinery of segments_from_target_labels still executes."""
+    """A8 MAX segmentation (applySectionsFromTargetLabels) + A12 segment
+    labeling (attachVectorsToAnnotations), one document per label group
+    via applyInPandas. Per-sentence predictions are one-hot at
+    1 + argmax(|embedding|) (index 0 reserved as the stable tie-filler so
+    the running-mean hysteresis never sticks), which makes both
+    operators' outputs exactly predictable by the SQL oracle — segment =
+    run of equal hot labels; the attached label is the run's hot index,
+    the heading its top-2 neighbours 'hot/0', confidence exactly 1.0 —
+    while the full running-mean/top-k machinery of
+    segments_from_target_labels AND the mean/normalize/cosine/argsort
+    machinery of attach_segment_labels still execute."""
     import numpy as np
-    from texoo_spark.segment import segments_from_target_labels
+    from texoo_spark.segment import (attach_segment_labels,
+                                     segments_from_target_labels)
     emb = _load(spark, sf_dir, "embeddings")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1324,11 +1427,23 @@ def q_max_segments(spark, sf_dir):
         preds = np.zeros((len(hot), n_labels))
         preds[np.arange(len(hot)), hot] = 1.0
         segs = segments_from_target_labels(preds, np.eye(n_labels))
-        return pd.DataFrame({"label": pdf["label"].iloc[0],
-                             "n_segments": [len(segs)]})
+        att = attach_segment_labels(preds, segs, np.eye(n_labels),
+                                    [str(i) for i in range(n_labels)])
+        return pd.DataFrame({
+            "label": pdf["label"].iloc[0],
+            "seg_idx": range(len(att)),
+            "sent_begin": [a["sent_begin"] for a in att],
+            "sent_end": [a["sent_end"] for a in att],
+            "seg_label": [a["label"] for a in att],
+            "heading": [a["heading"] for a in att],
+            "confidence": [a["confidence"] for a in att],
+        })
 
     return (emb.groupBy("label")
-            .applyInPandas(run, "label int, n_segments long"))
+            .applyInPandas(run, "label int, seg_idx long,"
+                                " sent_begin long, sent_end long,"
+                                " seg_label string, heading string,"
+                                " confidence double"))
 
 
 def q_serializer_roundtrip(spark, sf_dir):
@@ -1869,59 +1984,77 @@ def _maybe_tagged_trained_oracle() -> dict[str, str]:
 
 
 def _detect_language_oracle() -> str:
-    """langid.detect_language replicated in SQL: the n-gram-profile
-    detector's INTEGER milli-nat trigram weights inlined as one MAP per
-    language, word segmentation over the shared explicit letter class,
-    padded '#word#' trigram windows, per-language floor for unseen
-    trigrams, script short-circuits (kana -> ja before hangul -> ko
-    before han -> zh), fixed-order argmax, and the exact integer
+    """langid.detect_language replicated in SQL: per-script-group n-gram
+    profiles (Latin en..tr, Cyrillic ru/uk/bg, Arabic-script ar/fa) with
+    INTEGER milli-nat trigram weights as VALUES relations, word
+    segmentation over each group's shared explicit letter class, padded
+    '#word#' trigram windows, per-language floor for unseen trigrams,
+    script short-circuits (kana -> ja, hangul -> ko, han -> zh,
+    greek -> el, devanagari -> hi, in that order), script routing to the
+    matching group's fixed-order argmax, and the exact integer
     evidence-floor comparison (best < FLOOR_MILLI * n_trigrams)."""
-    from texoo_spark.langid import (EVIDENCE_FLOOR_MILLI, FLOORS, LANGS,
-                                    MAX_WORDS, PROFILES, WORD_RE)
+    from texoo_spark.langid import EVIDENCE_FLOOR_MILLI, GROUPS, MAX_WORDS
 
-    prof_rows = ", ".join(
-        "('%s', '%s', %d)" % (lang, t.replace("'", "''"), v)
-        for lang in LANGS for t, v in PROFILES[lang].items())
-    floor_rows = ", ".join(
-        "('%s', %d)" % (lang, FLOORS[lang]) for lang in LANGS)
-    pivots = ", ".join(
-        f"MAX(CASE WHEN lang = '{lang}' THEN s END) AS s_{lang}"
-        for lang in LANGS)
-    # fixed-order argmax: lang i wins if >= every later language's score
-    # (earlier languages already failed their own >= chain)
-    argmax = ""
-    for i, lang in enumerate(LANGS[:-1]):
-        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in LANGS[i + 1:])
-        argmax += f" WHEN {conds} THEN '{lang}'"
-    argmax += f" ELSE '{LANGS[-1]}'"
-    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in LANGS) + ")"
+    ctes: list[str] = []
+    group_case: dict[str, str] = {}
+    for tag, (langs, profiles, floors, _, letters) in GROUPS.items():
+        prof_rows = ", ".join(
+            "('%s', '%s', %d)" % (lang, t.replace("'", "''"), v)
+            for lang in langs for t, v in profiles[lang].items())
+        floor_rows = ", ".join(
+            "('%s', %d)" % (lang, floors[lang]) for lang in langs)
+        pivots = ", ".join(
+            f"MAX(CASE WHEN lang = '{lang}' THEN s END) AS s_{lang}"
+            for lang in langs)
+        # fixed-order argmax: lang i wins if >= every later language's
+        # score (earlier languages already failed their own >= chain)
+        argmax = ""
+        for i, lang in enumerate(langs[:-1]):
+            conds = " AND ".join(
+                f"s_{lang} >= s_{o}" for o in langs[i + 1:])
+            argmax += f" WHEN {conds} THEN '{lang}'"
+        argmax += f" ELSE '{langs[-1]}'"
+        best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+        ctes.append(
+            f"w_{tag} AS (SELECT doc_id, text, list_filter("
+            f"string_split_regex(lower(text), '[^{letters}]+'),"
+            f" x -> x <> '')[1:{MAX_WORDS}] AS ws FROM documents),"
+            f" g_{tag} AS (SELECT doc_id, text, flatten(list_transform(ws,"
+            " wv -> list_transform(range(1, length('#' || wv || '#') - 1),"
+            f" gi -> ('#' || wv || '#')[gi : gi + 2]))) AS tris FROM w_{tag}),"
+            f" nn_{tag} AS (SELECT doc_id, text, len(tris) AS n FROM g_{tag}),"
+            f" t_{tag} AS (SELECT doc_id, unnest(tris) AS tg FROM g_{tag}),"
+            # profile weights as a relation (hash join beats a map literal
+            # that DuckDB would rebuild inside every lambda evaluation)
+            f" prof_{tag}(lang, tg, wt) AS (SELECT * FROM (VALUES {prof_rows})),"
+            f" fl_{tag}(lang, fw) AS (SELECT * FROM (VALUES {floor_rows})),"
+            f" x_{tag} AS (SELECT doc_id, f.lang, SUM(COALESCE(wt, fw)) AS s"
+            f" FROM t_{tag} t CROSS JOIN fl_{tag} f"
+            f" LEFT JOIN prof_{tag} p ON p.lang = f.lang AND p.tg = t.tg"
+            " GROUP BY doc_id, f.lang),"
+            f" piv_{tag} AS (SELECT doc_id, {pivots} FROM x_{tag}"
+            " GROUP BY doc_id)")
+        group_case[tag] = (
+            f"(CASE WHEN nn_{tag}.n = 0 THEN ''"
+            f" WHEN {best} < {EVIDENCE_FLOOR_MILLI} * nn_{tag}.n THEN ''"
+            f"{argmax} END)")
+    joins = " ".join(
+        f"LEFT JOIN nn_{tag} ON nn_{tag}.doc_id = b.doc_id"
+        f" LEFT JOIN piv_{tag} ON piv_{tag}.doc_id = b.doc_id"
+        for tag in GROUPS)
     return (
-        "WITH w AS (SELECT doc_id, text, list_filter(string_split_regex("
-        f"lower(text), '[^{WORD_RE[1:-2]}]+'), x -> x <> '')[1:{MAX_WORDS}]"
-        " AS ws FROM documents),"
-        " g AS (SELECT doc_id, text, flatten(list_transform(ws, wv ->"
-        " list_transform(range(1, length('#' || wv || '#') - 1),"
-        " gi -> ('#' || wv || '#')[gi : gi + 2]))) AS tris FROM w),"
-        " nn AS (SELECT doc_id, text, len(tris) AS n FROM g),"
-        " t AS (SELECT doc_id, unnest(tris) AS tg FROM g),"
-        # profile weights as a relation (hash join beats a map literal
-        # that DuckDB would rebuild inside every lambda evaluation)
-        f" prof(lang, tg, wt) AS (SELECT * FROM (VALUES {prof_rows})),"
-        f" fl(lang, fw) AS (SELECT * FROM (VALUES {floor_rows})),"
-        " x AS (SELECT doc_id, f.lang, SUM(COALESCE(wt, fw)) AS s"
-        " FROM t CROSS JOIN fl f"
-        " LEFT JOIN prof p ON p.lang = f.lang AND p.tg = t.tg"
-        " GROUP BY doc_id, f.lang),"
-        f" piv AS (SELECT doc_id, {pivots} FROM x GROUP BY doc_id)"
-        " SELECT nn.doc_id, CASE"
-        " WHEN text IS NULL OR text = '' THEN ''"
-        " WHEN regexp_matches(text, '[ぁ-ゟ゠-ヿ]') THEN 'ja'"
-        " WHEN regexp_matches(text, '[가-힣ᄀ-ᇿ]') THEN 'ko'"
-        " WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'"
-        " WHEN n = 0 THEN ''"
-        f" WHEN {best} < {EVIDENCE_FLOOR_MILLI} * n THEN ''"
-        f"{argmax} END AS lang_pred"
-        " FROM nn LEFT JOIN piv ON piv.doc_id = nn.doc_id")
+        "WITH " + " , ".join(ctes) +
+        " SELECT b.doc_id, CASE"
+        " WHEN b.text IS NULL OR b.text = '' THEN ''"
+        " WHEN regexp_matches(b.text, '[ぁ-ゟ゠-ヿ]') THEN 'ja'"
+        " WHEN regexp_matches(b.text, '[가-힣ᄀ-ᇿ]') THEN 'ko'"
+        " WHEN regexp_matches(b.text, '[一-鿿]') THEN 'zh'"
+        " WHEN regexp_matches(b.text, '[Ά-ώἀ-ῼ]') THEN 'el'"
+        " WHEN regexp_matches(b.text, '[ऄ-ॿ]') THEN 'hi'"
+        f" WHEN regexp_matches(b.text, '[Ѐ-ӿ]') THEN {group_case['cyr']}"
+        f" WHEN regexp_matches(b.text, '[ء-ۿ]') THEN {group_case['arab']}"
+        f" ELSE {group_case['latin']} END AS lang_pred"
+        " FROM documents b " + joins)
 
 
 def _fingerprint_oracle() -> str:
@@ -1944,7 +2077,11 @@ def _fingerprint_oracle() -> str:
 def _quality_profile_oracle(stop: str) -> str:
     """quality_scores oracle: JVM-side quality ratios + document
     fingerprint + language id joined into the one-scan document profile
-    (the fingerprint and langid statements are reused as subqueries)."""
+    (the fingerprint and langid statements are reused as subqueries),
+    plus the A3 route_by_language replay: 'de' dispatches to the German
+    stop-counter, everything else (incl. unknown '') falls back to the
+    default 'en' annotator."""
+    stop_de = ", ".join(f"'{s}'" for s in STOPLIST_DE)
     return (
         f"SELECT d.doc_id,"
         f" CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,"
@@ -1952,7 +2089,13 @@ def _quality_profile_oracle(stop: str) -> str:
         f" / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,"
         f" ROUND(len(list_filter(string_split(text, ' '),"
         f" w -> w IN ({stop}))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)"
-        f" AS stopword_ratio, fp.fingerprint, lg.lang_pred"
+        f" AS stopword_ratio, fp.fingerprint, lg.lang_pred,"
+        f" CASE WHEN lg.lang_pred = 'de' THEN 'de' ELSE 'en' END AS route,"
+        f" CAST(CASE WHEN lg.lang_pred = 'de'"
+        f" THEN len(list_filter(string_split(text, ' '),"
+        f" w -> w IN ({stop_de})))"
+        f" ELSE len(list_filter(string_split(text, ' '),"
+        f" w -> w IN ({stop}))) END AS BIGINT) AS routed_stopwords"
         f" FROM documents d"
         f" JOIN ({_fingerprint_oracle()}) fp ON fp.doc_id = d.doc_id"
         f" JOIN ({_detect_language_oracle()}) lg ON lg.doc_id = d.doc_id")
@@ -2028,8 +2171,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text AS main_text FROM documents"
             " WHERE len(string_split(text, ' ')) >= 10"),
         "gazetteer_matches": (
+            # the bundle lane (docs < 100) must reproduce the fused
+            # count exactly — the oracle states it as the same expression
             f"SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),"
-            f" w -> w IN ({gaz}))) AS BIGINT) AS n_matches FROM documents"),
+            f" w -> w IN ({gaz}))) AS BIGINT) AS n_matches,"
+            f" CASE WHEN doc_id < 100 THEN"
+            f" CAST(len(list_filter(string_split(text, ' '),"
+            f" w -> w IN ({gaz}))) AS BIGINT)"
+            f" ELSE NULL END AS n_matches_bundle FROM documents"),
         "token_prf": (
             f"WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok"
             f" FROM documents),"
@@ -2245,7 +2394,32 @@ def oracle_sql() -> dict[str, str]:
             "  (SELECT DISTINCT media_id, duration_ms FROM moff)),"
             " mpick AS (SELECT media_id, t, MAX(dts_ms) AS dts_ms"
             "  FROM mtgt JOIN moff USING (media_id)"
-            "  WHERE is_sync AND dts_ms <= t GROUP BY 1, 2)"
+            "  WHERE is_sync AND dts_ms <= t GROUP BY 1, 2),"
+            # lane 'mp4:decoded': mp4box.synth_mjpeg_rule replay — MJPEG
+            # timing/sync selection, then the flat-block decoded stats
+            # v(b) = (16*b + 7*i + id%200) % 256 in closed form (quality
+            # 100 flat blocks decode bit-exactly; nb equal-sized blocks
+            # make the pixel mean the block-value mean, exact in float64
+            # because w*h and nb are powers of two)
+            " jgeo AS (SELECT doc_id AS media_id, 4 + doc_id % 3 AS n,"
+            "  250 + (doc_id % 2) * 250 AS d,"
+            "  16 * (1 + doc_id % 2) AS w, 16 AS h,"
+            "  4 * (1 + doc_id % 2) AS nb, doc_id % 200 AS base"
+            "  FROM documents WHERE doc_id >= 90 AND doc_id < 114),"
+            " jsamp AS (SELECT media_id, CAST(i AS INTEGER) AS sample_idx,"
+            "  CAST(i * d AS BIGINT) AS dts_ms, (i % 2 = 0) AS is_sync,"
+            "  CAST(n * d AS BIGINT) AS duration_ms, w, h, nb, base"
+            "  FROM jgeo, LATERAL (SELECT unnest(range(0, n)) AS i) r),"
+            " jtgt AS (SELECT media_id, CAST(unnest(range(0, duration_ms,"
+            "  500)) AS BIGINT) AS t FROM"
+            "  (SELECT DISTINCT media_id, duration_ms FROM jsamp)),"
+            " jpick AS (SELECT media_id, t, MAX(dts_ms) AS dts_ms"
+            "  FROM jtgt JOIN jsamp USING (media_id)"
+            "  WHERE is_sync AND dts_ms <= t GROUP BY 1, 2),"
+            " jsel AS (SELECT DISTINCT s.media_id, s.sample_idx, s.dts_ms,"
+            "  s.w, s.h, s.nb, s.base FROM jsamp s"
+            "  JOIN jpick p ON p.media_id = s.media_id"
+            "  AND p.dts_ms = s.dts_ms)"
             " SELECT 'frames' AS lane, media_id, frame_ts_ms, sha256,"
             " n_bytes, CAST(NULL AS VARCHAR) AS mime,"
             " CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER)"
@@ -2278,7 +2452,19 @@ def oracle_sql() -> dict[str, str]:
             " CAST(duration_ms AS DOUBLE) AS v_last"
             " FROM (SELECT DISTINCT m.* FROM moff m"
             "  JOIN mpick p ON p.media_id = m.media_id"
-            "  AND p.dts_ms = m.dts_ms)"),
+            "  AND p.dts_ms = m.dts_ms)"
+            " UNION ALL"
+            " SELECT 'mp4:decoded' AS lane, media_id,"
+            " dts_ms AS frame_ts_ms, CAST(NULL AS VARCHAR) AS sha256,"
+            " CAST(NULL AS BIGINT) AS n_bytes, 'video/mjpeg' AS mime,"
+            " CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,"
+            " CAST(w * h AS BIGINT) AS v_count,"
+            " ROUND(list_avg(list_transform(range(0, nb), b ->"
+            "  CAST((16 * b + 7 * sample_idx + base) % 256 AS DOUBLE))), 6)"
+            "  AS v_mean,"
+            " CAST((7 * sample_idx + base) % 256 AS DOUBLE) AS v_first,"
+            " CAST((16 * (nb - 1) + 7 * sample_idx + base) % 256 AS DOUBLE)"
+            "  AS v_last FROM jsel"),
         "ngram_jaccard_dups": (
             "WITH base AS ("
             " SELECT doc_id AS id, lower(text) AS text FROM documents"
@@ -2551,16 +2737,34 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents"),
         "quality_scores": _quality_profile_oracle(stop),
         "max_segments": (
-            "WITH h AS (SELECT label, vec_id, list_position("
+            # A8 runs + A12 attach: per run of equal hot labels, the
+            # attached label is the hot index (one-hot segment mean ->
+            # cosine 1.0 with its own identity row), heading = 'hot/0'
+            # (second neighbour is the first zero-sim index, stably 0),
+            # confidence exactly 1.0
+            "WITH h AS (SELECT label, vec_id, ROW_NUMBER() OVER ("
+            " PARTITION BY label ORDER BY vec_id) - 1 AS pos,"
+            " list_position("
             " list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)),"
             " list_max(list_transform(CAST(embedding AS DOUBLE[]),"
             " x -> abs(x)))) AS hot FROM embeddings),"
-            " d AS (SELECT label, hot, LAG(hot) OVER (PARTITION BY label"
-            " ORDER BY vec_id) AS ph FROM h)"
+            " d AS (SELECT label, pos, hot, CASE WHEN LAG(hot) OVER ("
+            " PARTITION BY label ORDER BY pos) IS DISTINCT FROM hot"
+            " THEN 1 ELSE 0 END AS brk FROM h),"
+            " s AS (SELECT label, pos, hot, SUM(brk) OVER (PARTITION BY"
+            " label ORDER BY pos) AS seg FROM d),"
+            " segs AS (SELECT label, seg - 1 AS seg_idx,"
+            " MIN(pos) AS sent_begin, MAX(pos) + 1 AS sent_end,"
+            " MIN(hot) AS hot FROM s GROUP BY label, seg)"
             " SELECT CAST(label AS INTEGER) AS label,"
-            " CAST(1 + SUM(CASE WHEN ph IS NOT NULL AND hot <> ph"
-            " THEN 1 ELSE 0 END) AS BIGINT) AS n_segments"
-            " FROM d GROUP BY label"),
+            " CAST(seg_idx AS BIGINT) AS seg_idx,"
+            " CAST(sent_begin AS BIGINT) AS sent_begin,"
+            " CAST(sent_end AS BIGINT) AS sent_end,"
+            " CAST(hot AS VARCHAR) AS seg_label,"
+            " hot || '/0' AS heading,"
+            # DOUBLE, not the bare 1.0 literal: DuckDB types that DECIMAL,
+            # which collects as Decimal('1.0') and renders differently
+            " CAST(1.0 AS DOUBLE) AS confidence FROM segs"),
         "ivf_knn": (
             "WITH st AS (SELECT GREATEST(COUNT(*) // 8, 1) AS stride"
             " FROM embeddings),"

@@ -1,4 +1,4 @@
-"""T6 n-gram-profile language identification: goldens (13 languages,
+"""T6 n-gram-profile language identification: goldens (19 languages,
 short texts, unknown handling) + exact Python<->DuckDB twin parity on
 multilingual/adversarial strings the bundled ASCII test tables never
 exercise (the driver's oracle gate only sees lowercase-ASCII documents)."""
@@ -24,6 +24,15 @@ GOLDENS = [
     ("你好世界这是中文", "zh"),
     ("これは日本語のテキストです", "ja"),
     ("안녕하세요 한국어 텍스트입니다", "ko"),
+    # script-routed groups: Cyrillic ru/uk/bg, Arabic-script ar/fa
+    ("Это простой русский текст о погоде и жизни в городе", "ru"),
+    ("Це простий український текст про погоду і життя в місті", "uk"),
+    ("Това е прост български текст за времето и живота в града", "bg"),
+    ("هذا نص عربي بسيط عن الطقس والحياة في المدينة", "ar"),
+    ("این یک متن ساده فارسی درباره هوا و زندگی در شهر است", "fa"),
+    # single-language script short-circuits
+    ("Αυτό είναι ένα απλό ελληνικό κείμενο", "el"),
+    ("यह मौसम के बारे में एक सरल हिंदी पाठ है", "hi"),
 ]
 
 SHORT = [
@@ -37,9 +46,15 @@ SHORT = [
     ("tack så mycket", "sv"),
     ("dzień dobry", "pl"),
     ("merhaba nasılsın", "tr"),
+    ("привет как дела", "ru"),
+    ("добрий день друже", "uk"),
+    ("благодаря много", "bg"),
+    ("شكرا جزيلا", "ar"),
+    ("خیلی ممنون دوست من", "fa"),
 ]
 
-UNKNOWN = ["", "12345 67890 @@@", "xyzzy qwerty", "asdkj qpwoe zmxnc"]
+UNKNOWN = ["", "12345 67890 @@@", "xyzzy qwerty", "asdkj qpwoe zmxnc",
+           "٣٤٥ ٦٧٨"]   # Arabic-Indic digits alone are not evidence
 
 
 @pytest.mark.parametrize("text,lang", GOLDENS)
@@ -62,6 +77,25 @@ def test_mixed_script_prefers_kana_then_hangul_then_han():
     assert detect_language("日本語のテキストです") == "ja"
     assert detect_language("한국어 텍스트 中文") == "ko"
     assert detect_language("中文文本") == "zh"
+
+
+def test_mixed_script_group_routing():
+    # any Cyrillic routes to the Cyrillic group even with Latin filler;
+    # Cyrillic outranks Arabic script in the fixed routing order
+    assert detect_language("Русский текст with some English words") == "ru"
+    assert detect_language("український текст and english") == "uk"
+    assert detect_language("متن فارسی with english می گذرد زمان") == "fa"
+
+
+def test_group_profiles_are_deterministic_integers():
+    from texoo_spark.langid import GROUPS
+    assert list(GROUPS) == ["latin", "cyr", "arab"]
+    for tag, (langs, profiles, floors, _, _) in GROUPS.items():
+        assert list(profiles) == langs
+        for lang in langs:
+            assert all(isinstance(v, int) and v < 0
+                       for v in profiles[lang].values())
+            assert floors[lang] <= min(profiles[lang].values())
 
 
 def test_profiles_are_deterministic_integers():
@@ -94,6 +128,14 @@ def test_duckdb_twin_parity_multilingual():
         "abc123def mixed tokens 42",                     # digits split words
         "HELLO WORLD THIS IS LOUD ENGLISH TEXT HERE",    # all caps
         "a b c d e f g h i j",                           # 1-letter words
+        "Русский текст with some English words",         # cyr routing
+        "mixed Кириллица and عربي in one line",          # cyr before arab
+        "СЕГОДНЯ ХОРОШАЯ ПОГОДА",                        # Cyrillic caps
+        "الطقس جميل اليوم ونحن ذاهبون الى الحديقة",      # ar
+        "امروز هوا خوب است و ما به پارک می رویم",        # fa
+        "٣٤٥ ٦٧٨",                                       # digits only
+        "Αυτό είναι ελληνικό",                           # el short-circuit
+        "यह हिंदी है",                                    # hi short-circuit
     ])
     df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
     con = duckdb.connect()

@@ -180,3 +180,43 @@ def test_property_round_trip(items, per_chunk, wide, v1):
     for i, s in enumerate(samples):
         lo = trk.sample_offsets[i]
         assert payload[lo:lo + len(s)] == s
+
+
+def test_mjpeg_mp4_round_trip_bit_exact():
+    """Motion-JPEG synthesis: every sample in the container is a real
+    baseline-JPEG bitstream (fourcc 'mjpa') whose flat-8x8-block decode
+    is BIT-EXACT against the closed-form rule — the full in-container
+    codec loop (parse -> slice -> T.81 entropy decode) with no external
+    libraries."""
+    import numpy as np
+
+    from texoo_spark.jpegcodec import decode_jpeg
+    for mid in (90, 91, 92, 95, 98, 105, 112):   # hits co64/v1 residues
+        buf = m.synth_mjpeg_mp4(mid)
+        trk = m.parse_mp4(buf).tracks[0]
+        r = m.synth_mjpeg_rule(mid)
+        assert trk.codec == "mjpa"
+        assert len(trk.sample_sizes) == r["n"]
+        assert (trk.width, trk.height) == (r["width"], r["height"])
+        for i, (off, sz) in enumerate(zip(trk.sample_offsets,
+                                          trk.sample_sizes)):
+            img = decode_jpeg(buf[off:off + sz])[:, :, 0]
+            assert img.shape == (r["height"], r["width"])
+            blocks = (img.reshape(r["height"] // 8, 8, r["width"] // 8, 8)
+                      .transpose(0, 2, 1, 3))
+            assert (blocks == blocks[..., :1, :1]).all()   # truly flat
+            got = blocks[..., 0, 0].flatten().tolist()
+            assert got == m.frame_block_values(mid, i)
+
+
+def test_mjpeg_rule_matches_oracle_constants():
+    """The closed-form constants the DuckDB oracle re-states (n, delta,
+    dims, block count, base) for the 'mp4:decoded' lane."""
+    for mid in range(90, 114):
+        r = m.synth_mjpeg_rule(mid)
+        assert r["n"] == 4 + mid % 3
+        assert r["delta"] == 250 + (mid % 2) * 250
+        assert (r["width"], r["height"]) == (16 * (1 + mid % 2), 16)
+        assert r["blocks"] == 4 * (1 + mid % 2)
+        assert r["base"] == mid % 200
+        assert r["sync"] == [i % 2 == 0 for i in range(r["n"])]

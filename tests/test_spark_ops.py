@@ -170,3 +170,23 @@ def test_bm25_topk_golden(spark):
     assert got[(0, 0)] == (1, 1.3486)
     assert got[(0, 2)] == (2, 0.6893)
     assert got[(0, 1)] == (3, 0.5442)
+
+
+def test_route_by_language_dispatch_and_fallback(spark):
+    """A3 GenericMentionAnnotator routing: known languages dispatch to
+    their annotator, unknown/NULL fall back to the default, every input
+    row appears exactly once in the union."""
+    from texoo_spark.annotator import Annotator, route_by_language
+    df = spark.createDataFrame(
+        [(0, "en"), (1, "de"), (2, "fr"), (3, None), (4, "en"), (5, "")],
+        "doc_id long, lang string")
+
+    def stamp(name):
+        return Annotator(name, lambda d, name=name:
+                         d.withColumn("route", F.lit(name)))
+
+    out = route_by_language(df, {"en": stamp("en"), "de": stamp("de")},
+                            default_lang="en", lang_col="lang")
+    rows = {r.doc_id: r.route for r in out.collect()}
+    assert rows == {0: "en", 1: "de", 2: "en", 3: "en", 4: "en", 5: "en"}
+    assert out.count() == 6  # no row duplicated or dropped

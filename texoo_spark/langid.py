@@ -14,12 +14,19 @@ log-probability scoring) from scratch:
   trigrams costing a per-language floor penalty. Integer weights make the
   score an exact integer in every engine (the DuckDB oracle replays the
   same maps — float summation order can never flip an argmax);
-- script short-circuits for zh/ja/ko (Han / Kana / Hangul ranges), like
-  the reference's detector;
+- script short-circuits for zh/ja/ko (Han / Kana / Hangul ranges) and for
+  single-language scripts el (Greek) / hi (Devanagari), like the
+  reference's detector;
+- script-ROUTED profile groups: Cyrillic text is scored against ru/uk/bg
+  profiles over a Cyrillic word class, Arabic-script text against ar/fa
+  profiles, everything else against the Latin group — so close languages
+  sharing a script are separated by the same trigram machinery;
 - "" (unknown) below an average-log-probability evidence floor, matching
   the reference's "unknown -> empty string" contract.
 
-Languages: en de fr es it pt nl sv pl tr (+ zh/ja/ko by script).
+Languages: en de fr es it pt nl sv pl tr (Latin group), ru uk bg
+(Cyrillic group), ar fa (Arabic-script group), + zh/ja/ko/el/hi by
+script — 19 total.
 """
 
 from __future__ import annotations
@@ -27,7 +34,7 @@ from __future__ import annotations
 import math
 import re
 
-# explicit letter class shared VERBATIM with the SQL oracle twin — both
+# explicit letter classes shared VERBATIM with the SQL oracle twin — both
 # engines must segment words identically (a broad \w would drag in
 # engine-specific unicode tables)
 _LETTERS = ("a-zàáâãäåæçèéêëìíîïñòóôõöøùúûüýÿ"
@@ -35,9 +42,24 @@ _LETTERS = ("a-zàáâãäåæçèéêëìíîïñòóôõöøùúûüýÿ"
 WORD_RE = r"[" + _LETTERS + r"]+"
 _WORD = re.compile(WORD_RE)
 
+# Cyrillic lowercase block U+0430-04FF (lower() runs first, historic
+# letters harmless); Arabic block letters+tatweel+harakat U+0621-065F
+# plus the extended letters U+066E-06FF (Persian پ چ ژ ک گ ی live
+# there) — Arabic-Indic digits/punct U+0660-066D deliberately excluded.
+_CYR_LETTERS = "а-ӿ"
+_ARAB_LETTERS = "ء-ٟٮ-ۿ"
+CYR_WORD_RE = r"[" + _CYR_LETTERS + r"]+"
+ARAB_WORD_RE = r"[" + _ARAB_LETTERS + r"]+"
+_CYR_WORD = re.compile(CYR_WORD_RE)
+_ARAB_WORD = re.compile(ARAB_WORD_RE)
+
 _KANA = re.compile(r"[ぁ-ゟ゠-ヿ]")       # hiragana + katakana
 _HANGUL = re.compile(r"[가-힣ᄀ-ᇿ]")
 _HAN = re.compile(r"[一-鿿]")
+_GREEK = re.compile(r"[Ά-ώἀ-ῼ]")         # Greek + polytonic letters
+_DEVANAGARI = re.compile(r"[ऄ-ॿ]")
+_CYR_ANY = re.compile(r"[Ѐ-ӿ]")           # U+0400-04FF (either case)
+_ARAB_ANY = re.compile(r"[ء-ۿ]")
 
 # Seed corpora: deterministic, authored common prose per language
 # (everyday-register sentences; enough mass for stable trigram profiles).
@@ -234,7 +256,108 @@ SEED_TEXT = {
            "rla mutlu olduğunda zaman çok hızlı geçer"),
 }
 
+# Cyrillic-script group: same authored template (fox story + everyday
+# greetings/numbers) so the profile mass is comparable across groups.
+SEED_TEXT_CYR = {
+    "ru": ("быстрая коричневая лиса прыгает через ленивую собаку и бежит "
+           "каждое утро через зелёные поля прежде чем солнце взойдёт над "
+           "холмами где дети играют со своими друзьями а семьи собираются "
+           "на завтрак пока птицы поют на старых деревьях это история о "
+           "людях которые живут в маленьком городе у реки и они всегда "
+           "знали что вода приносит жизнь и перемены всем кто остаётся в "
+           "течение долгих зимних месяцев когда снег покрывает землю и "
+           "дни становятся короткими но ночи полны звёзд"
+           " привет как дела у тебя всё хорошо доброе утро большое "
+           "спасибо пожалуйста и добро "
+           "пожаловать мой друг как ты сегодня я хорошо мы увидимся "
+           "завтра снова один два три четыре пять шесть семь восемь "
+           "девять десять как тебя зовут откуда ты я хотел бы немного "
+           "хлеба и воды погода сегодня холодная но вчера было тепло в "
+           "моём доме много комнат и большой сад мы ужинаем вместе каждый "
+           "вечер и говорим о работе школе книгах музыке и обо всём что "
+           "случилось за неделю потому что время летит так быстро когда "
+           "ты счастлив с людьми которых любишь"
+           " это русский текст мы говорим и пишем на русском языке"),
+    "uk": ("швидка коричнева лисиця стрибає через ледачого пса і біжить "
+           "щоранку через зелені поля перш ніж сонце зійде над пагорбами "
+           "де діти граються зі своїми друзями а родини збираються на "
+           "сніданок поки птахи співають на старих деревах це історія про "
+           "людей які живуть у маленькому місті біля річки і вони завжди "
+           "знали що вода приносить життя і зміни всім хто залишається "
+           "протягом довгих зимових місяців коли сніг вкриває землю і дні "
+           "стають короткими але ночі повні зірок"
+           " привіт доброго ранку дуже дякую будь ласка і ласкаво просимо "
+           "мій друже як ти сьогодні у мене все добре ми побачимося "
+           "завтра знову один два три чотири п'ять шість сім вісім "
+           "дев'ять десять як тебе звати звідки ти я хотів би трохи хліба "
+           "і води погода сьогодні холодна але вчора було тепло у моєму "
+           "домі багато кімнат і великий сад ми вечеряємо разом щовечора "
+           "і говоримо про роботу школу книги музику і про все що сталося "
+           "за тиждень бо час минає так швидко коли ти щасливий з людьми "
+           "яких любиш"
+           " це український текст ми розмовляємо українською мовою"),
+    "bg": ("бързата кафява лисица скача през мързеливото куче и тича "
+           "всяка сутрин през зелените полета преди слънцето да изгрее "
+           "над хълмовете където децата играят със своите приятели а "
+           "семействата се събират за закуска докато птиците пеят на "
+           "старите дървета това е история за хора които живеят в малък "
+           "град до реката и те винаги са знаели че водата носи живот и "
+           "промяна на всички които остават през дългите зимни месеци "
+           "когато снегът покрива земята и дните стават къси но нощите са "
+           "пълни със звезди"
+           " здравей добро утро много благодаря моля и добре дошъл "
+           "приятелю как си днес аз съм добре ще се видим утре отново "
+           "едно две три четири пет шест седем осем девет десет как се "
+           "казваш откъде идваш бих искал малко хляб и вода времето днес "
+           "е студено но вчера беше топло моята къща има много стаи и "
+           "голяма градина вечеряме заедно всяка вечер и говорим за "
+           "работа училище книги музика и всичко което се случи през "
+           "седмицата защото времето минава толкова бързо когато си "
+           "щастлив с хората които обичаш"
+           " това е български текст ние говорим на български език"),
+}
+
+# Arabic-script group (ar vs fa separated by their very different
+# function words and the Persian-only letters پ چ ژ گ).
+SEED_TEXT_ARAB = {
+    "ar": ("الثعلب البني السريع يقفز فوق الكلب الكسول ويركض كل صباح عبر "
+           "الحقول الخضراء قبل أن تشرق الشمس فوق التلال حيث يلعب الأطفال "
+           "مع أصدقائهم وتجتمع العائلات لتناول الفطور بينما تغني الطيور "
+           "في الأشجار القديمة هذه قصة عن أناس يعيشون في مدينة صغيرة قرب "
+           "النهر وقد عرفوا دائما أن الماء يجلب الحياة والتغيير لكل من "
+           "يبقى خلال أشهر الشتاء الطويلة عندما يغطي الثلج الأرض وتصبح "
+           "الأيام قصيرة لكن الليالي مليئة بالنجوم"
+           " مرحبا صباح الخير شكرا جزيلا من فضلك وأهلا بك يا صديقي كيف "
+           "حالك اليوم أنا بخير سنلتقي غدا مرة أخرى واحد اثنان ثلاثة "
+           "أربعة خمسة ستة سبعة ثمانية تسعة عشرة ما اسمك من أين أنت أريد "
+           "بعض الخبز والماء الطقس بارد اليوم لكن أمس كان دافئا بيتي فيه "
+           "غرف كثيرة وحديقة كبيرة نتناول العشاء معا كل مساء ونتحدث عن "
+           "العمل والمدرسة والكتب والموسيقى وكل ما حدث خلال الأسبوع لأن "
+           "الوقت يمر بسرعة عندما تكون سعيدا مع الناس الذين تحبهم"
+           " هذا نص عربي نحن نتكلم ونكتب باللغة العربية"),
+    "fa": ("روباه قهوه ای سریع از روی سگ تنبل می پرد و هر صبح از میان "
+           "مزارع سبز می دود پیش از آنکه خورشید بر فراز تپه ها طلوع کند "
+           "جایی که کودکان با دوستان خود بازی می کنند و خانواده ها برای "
+           "صبحانه جمع می شوند در حالی که پرندگان در درختان کهن آواز می "
+           "خوانند این داستانی است درباره مردمی که در شهری کوچک نزدیک "
+           "رودخانه زندگی می کنند و همیشه می دانستند که آب زندگی و تغییر "
+           "را برای همه کسانی که می مانند می آورد در طول ماه های بلند "
+           "زمستان وقتی برف زمین را می پوشاند و روزها کوتاه می شوند اما "
+           "شب ها پر از ستاره هستند"
+           " سلام صبح بخیر خیلی ممنون لطفا و خوش آمدی دوست من امروز حالت "
+           "چطور است من خوبم فردا دوباره همدیگر را می بینیم یک دو سه "
+           "چهار پنج شش هفت هشت نه ده اسمت چیست اهل کجا هستی کمی نان و "
+           "آب می خواهم هوا امروز سرد است اما دیروز گرم بود خانه من اتاق "
+           "های زیادی و باغ بزرگی دارد هر شب با هم شام می خوریم و درباره "
+           "کار مدرسه کتاب موسیقی و هر چه در هفته اتفاق افتاد صحبت می "
+           "کنیم چون زمان خیلی زود می گذرد وقتی با کسانی که دوستشان داری "
+           "خوشحال هستی"
+           " این متن فارسی است ما به زبان فارسی صحبت می کنیم"),
+}
+
 LANGS = list(SEED_TEXT)          # fixed order = deterministic tie-break
+CYR_LANGS = list(SEED_TEXT_CYR)
+ARAB_LANGS = list(SEED_TEXT_ARAB)
 MAX_WORDS = 200                  # score at most the first 200 words
 _SCALE = 1000                    # milli-nats (integer weights)
 EVIDENCE_FLOOR_MILLI = -7200     # avg log p below -7.2 nats -> unknown
@@ -249,24 +372,26 @@ def word_trigrams(word: str) -> list[str]:
     return [w[i:i + 3] for i in range(len(w) - 2)]
 
 
-def text_trigrams(text: str, max_words: int = MAX_WORDS) -> list[str]:
-    words = _WORD.findall((text or "").lower())[:max_words]
+def text_trigrams(text: str, max_words: int = MAX_WORDS,
+                  word_re: "re.Pattern[str]" = _WORD) -> list[str]:
+    words = word_re.findall((text or "").lower())[:max_words]
     out: list[str] = []
     for w in words:
         out.extend(word_trigrams(w))
     return out
 
 
-def _build_profiles() -> tuple[dict[str, dict[str, int]], dict[str, int]]:
+def _build_profiles(seeds: dict[str, str], word_re: "re.Pattern[str]",
+                    ) -> tuple[dict[str, dict[str, int]], dict[str, int]]:
     """(weights[lang][tri] in milli-nats, floor[lang]).
 
     weight = round(SCALE * ln(count / total)); floor (unseen trigram)
     = round(SCALE * ln(0.5 / total))."""
     weights: dict[str, dict[str, int]] = {}
     floors: dict[str, int] = {}
-    for lang, seed in SEED_TEXT.items():
+    for lang, seed in seeds.items():
         counts: dict[str, int] = {}
-        for tri in text_trigrams(seed, max_words=10_000):
+        for tri in text_trigrams(seed, max_words=10_000, word_re=word_re):
             counts[tri] = counts.get(tri, 0) + 1
         total = sum(counts.values())
         weights[lang] = {t: round(_SCALE * math.log(c / total))
@@ -275,30 +400,47 @@ def _build_profiles() -> tuple[dict[str, dict[str, int]], dict[str, int]]:
     return weights, floors
 
 
-PROFILES, FLOORS = _build_profiles()
+PROFILES, FLOORS = _build_profiles(SEED_TEXT, _WORD)
+CYR_PROFILES, CYR_FLOORS = _build_profiles(SEED_TEXT_CYR, _CYR_WORD)
+ARAB_PROFILES, ARAB_FLOORS = _build_profiles(SEED_TEXT_ARAB, _ARAB_WORD)
+
+# script-routed groups: group tag -> (langs, profiles, floors, word
+# regex, word-class SQL letters). The oracle twin iterates this table.
+GROUPS = {
+    "latin": (LANGS, PROFILES, FLOORS, _WORD, _LETTERS),
+    "cyr": (CYR_LANGS, CYR_PROFILES, CYR_FLOORS, _CYR_WORD, _CYR_LETTERS),
+    "arab": (ARAB_LANGS, ARAB_PROFILES, ARAB_FLOORS, _ARAB_WORD,
+             _ARAB_LETTERS),
+}
 
 
 def _script_language(text: str) -> str:
-    """Script short-circuits, checked in a fixed order (Kana implies
-    Japanese even when Han characters are also present)."""
+    """Single-language script short-circuits, checked in a fixed order
+    (Kana implies Japanese even when Han characters are also present;
+    Greek and Devanagari each map to one supported language)."""
     if _KANA.search(text):
         return "ja"
     if _HANGUL.search(text):
         return "ko"
     if _HAN.search(text):
         return "zh"
+    if _GREEK.search(text):
+        return "el"
+    if _DEVANAGARI.search(text):
+        return "hi"
     return ""
 
 
-def _build_combined():
-    """tri -> int64[|LANGS|] weight vector (per-language floor where the
+def _build_combined(langs: list[str], profiles: dict[str, dict[str, int]],
+                    floors: dict[str, int]):
+    """tri -> int64[|langs|] weight vector (per-language floor where the
     trigram is unseen) — one dict lookup per trigram scores ALL
     languages at once (the batch hot path)."""
     import numpy as np
-    floorvec = np.array([FLOORS[lg] for lg in LANGS], dtype=np.int64)
+    floorvec = np.array([floors[lg] for lg in langs], dtype=np.int64)
     combined: dict[str, "np.ndarray"] = {}
-    for li, lang in enumerate(LANGS):
-        for t, v in PROFILES[lang].items():
+    for li, lang in enumerate(langs):
+        for t, v in profiles[lang].items():
             vec = combined.get(t)
             if vec is None:
                 vec = floorvec.copy()
@@ -307,25 +449,44 @@ def _build_combined():
     return combined, floorvec
 
 
-_COMBINED, _FLOORVEC = _build_combined()
+_COMBINED_BY_GROUP = {tag: _build_combined(langs, profiles, floors)
+                      for tag, (langs, profiles, floors, _, _)
+                      in GROUPS.items()}
+_COMBINED, _FLOORVEC = _COMBINED_BY_GROUP["latin"]
+
+
+def _route_group(text: str) -> str:
+    """Profile group for a text: Cyrillic before Arabic script before
+    Latin, in a fixed order (mixed-script text routes to the first
+    matching group, same first-wins rule as the script short-circuits)."""
+    if _CYR_ANY.search(text):
+        return "cyr"
+    if _ARAB_ANY.search(text):
+        return "arab"
+    return "latin"
 
 
 def detect_language(text: str) -> str:
     """Best profile by total trigram log probability (integer milli-nats,
     exact in any engine); '' when empty, letterless, or below the
-    evidence floor. Ties break on the fixed LANGS order (numpy argmax
-    returns the first maximum, same first-wins rule)."""
+    evidence floor. Script short-circuits first (ja/ko/zh/el/hi), then
+    the text is scored only against its script group's languages. Ties
+    break on the fixed group language order (numpy argmax returns the
+    first maximum, same first-wins rule)."""
     import numpy as np
     if not text:
         return ""
     script = _script_language(text)
     if script:
         return script
-    tris = text_trigrams(text)
+    group = _route_group(text)
+    langs, _, _, word_re, _ = GROUPS[group]
+    tris = text_trigrams(text, word_re=word_re)
     if not tris:
         return ""
-    get = _COMBINED.get
-    s = np.sum([get(t, _FLOORVEC) for t in tris], axis=0,
+    combined, floorvec = _COMBINED_BY_GROUP[group]
+    get = combined.get
+    s = np.sum([get(t, floorvec) for t in tris], axis=0,
                dtype=np.int64)
     bi = int(np.argmax(s))
     best = int(s[bi])
@@ -334,4 +495,4 @@ def detect_language(text: str) -> str:
     #   best / len(tris) < EVIDENCE_FLOOR_MILLI
     if best < EVIDENCE_FLOOR_MILLI * len(tris):
         return ""
-    return LANGS[bi]
+    return langs[bi]

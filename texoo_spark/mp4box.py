@@ -275,7 +275,8 @@ assert len(FTYP) == 20
 def write_mp4(samples: list[bytes], deltas: list[int],
               sync_flags: list[bool], width: int, height: int,
               timescale: int = 1000, samples_per_chunk: int = 2,
-              wide_offsets: bool = False, version1: bool = False) -> bytes:
+              wide_offsets: bool = False, version1: bool = False,
+              fourcc: bytes = b"rawv") -> bytes:
     """Minimal valid single-video-track MP4: ftyp + mdat + moov (trailing
     moov, the standard non-faststart layout — chunk offsets are known
     before the index is written). Chunks group `samples_per_chunk`
@@ -337,9 +338,9 @@ def write_mp4(samples: list[bytes], deltas: list[int],
 
     hdlr = _full(b"hdlr", 0, struct.pack(">I", 0) + b"vide"
                  + b"\x00" * 12 + b"video\x00")
-    # opaque sample entry: fourcc 'rawv' (payloads are synthetic, not a
-    # real codec bitstream; the parser treats samples as byte ranges)
-    entry = _box(b"rawv", b"\x00" * 6 + struct.pack(">H", 1))
+    # sample entry: default fourcc 'rawv' (opaque synthetic payloads);
+    # 'mjpa' marks Motion-JPEG samples that ARE real codec bitstreams
+    entry = _box(fourcc, b"\x00" * 6 + struct.pack(">H", 1))
     stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
     stts = _full(b"stts", 0, struct.pack(">I", len(stts_runs))
                  + b"".join(struct.pack(">II", c, d) for c, d in stts_runs))
@@ -415,3 +416,49 @@ def synth_mp4(media_id: int) -> bytes:
                      r["width"], r["height"],
                      wide_offsets=(media_id % 5 == 0),
                      version1=(media_id % 7 == 0))
+
+
+def synth_mjpeg_rule(media_id: int) -> dict:
+    """Closed-form spec for a Motion-JPEG MP4: frame count / timing /
+    sync pattern plus the flat-8x8-block grayscale pixel rule per frame.
+    Block b of frame i holds constant value (16*b + 7*i + id%200) % 256 —
+    at quality 100 the T.81 round trip is bit-exact, so decoded pixel
+    stats are a pure closed form the DuckDB oracle can state."""
+    n = 4 + media_id % 3
+    w = 16 * (1 + media_id % 2)
+    h = 16
+    return {
+        "n": n, "delta": 250 + (media_id % 2) * 250,
+        "sync": [i % 2 == 0 for i in range(n)],
+        "width": w, "height": h,
+        "blocks": (h // 8) * (w // 8),
+        "base": media_id % 200,
+    }
+
+
+def frame_block_values(media_id: int, idx: int) -> "list[int]":
+    """The flat-block grayscale values of MJPEG frame ``idx`` in
+    row-major block order (shared by the encoder, tests and oracle)."""
+    r = synth_mjpeg_rule(media_id)
+    return [(16 * b + 7 * idx + r["base"]) % 256
+            for b in range(r["blocks"])]
+
+
+def synth_mjpeg_mp4(media_id: int) -> bytes:
+    """Deterministic MP4 whose samples are REAL baseline-JPEG bitstreams
+    (jpegcodec.make_flat_block_jpeg) — the in-container codec loop the
+    'mp4:decoded' lane closes: container parse -> sync-frame sampling ->
+    byte slice -> T.81 entropy decode -> pixel stats, all hermetic."""
+    import numpy as np
+
+    from texoo_spark.jpegcodec import make_flat_block_jpeg
+    r = synth_mjpeg_rule(media_id)
+    bw = r["width"] // 8
+    samples = [make_flat_block_jpeg(
+        np.array(frame_block_values(media_id, i), np.uint8)
+        .reshape(r["height"] // 8, bw))
+        for i in range(r["n"])]
+    return write_mp4(samples, [r["delta"]] * r["n"], r["sync"],
+                     r["width"], r["height"],
+                     wide_offsets=(media_id % 5 == 0),
+                     version1=(media_id % 7 == 0), fourcc=b"mjpa")

@@ -267,6 +267,49 @@ def slice_frame_bytes(frames: DataFrame, media: DataFrame) -> DataFrame:
             .drop("payload"))
 
 
+def decode_jpeg_frame_stats(sliced: DataFrame) -> DataFrame:
+    """Decode SAMPLED Motion-JPEG frames (the frame_bytes column
+    slice_frame_bytes produced) through the real T.81 baseline decoder
+    and report pixel statistics. Runs AFTER frame sampling, so only the
+    selected keyframes' bytes — not whole videos — cross into Python,
+    one Arrow batch at a time; per-row independent, no shuffle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("dts_ms", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("v_count", LongType()),
+        StructField("v_mean", DoubleType()),
+        StructField("v_first", DoubleType()),
+        StructField("v_last", DoubleType()),
+    ])
+
+    def run(batches):
+        from texoo_spark.jpegcodec import decode_jpeg
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for mid, dts, payload in zip(pdf["media_id"], pdf["dts_ms"],
+                                         pdf["frame_bytes"]):
+                img = decode_jpeg(bytes(payload))
+                flat = img[:, :, 0].astype("float64").ravel()
+                out["media_id"].append(int(mid))
+                out["dts_ms"].append(int(dts))
+                out["width"].append(int(img.shape[1]))
+                out["height"].append(int(img.shape[0]))
+                out["v_count"].append(int(flat.size))
+                out["v_mean"].append(float(flat.mean()))
+                out["v_first"].append(float(flat[0]))
+                out["v_last"].append(float(flat[-1]))
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return (sliced.select("media_id", "dts_ms", "frame_bytes")
+            .mapInPandas(run, schema))
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests/bench (payload bytes are a
     pure function of media_id)."""
