@@ -1993,7 +1993,8 @@ def _detect_language_oracle() -> str:
     greek -> el, devanagari -> hi, in that order), script routing to the
     matching group's fixed-order argmax, and the exact integer
     evidence-floor comparison (best < FLOOR_MILLI * n_trigrams)."""
-    from texoo_spark.langid import EVIDENCE_FLOOR_MILLI, GROUPS, MAX_WORDS
+    from texoo_spark.langid import (EVIDENCE_FLOOR_MILLI, GROUPS,
+                                    MAX_WORDS, SCRIPT_LANGS)
 
     ctes: list[str] = []
     group_case: dict[str, str] = {}
@@ -2051,6 +2052,8 @@ def _detect_language_oracle() -> str:
         " WHEN regexp_matches(b.text, '[一-鿿]') THEN 'zh'"
         " WHEN regexp_matches(b.text, '[Ά-ώἀ-ῼ]') THEN 'el'"
         " WHEN regexp_matches(b.text, '[ऄ-ॿ]') THEN 'hi'"
+        + "".join(f" WHEN regexp_matches(b.text, '[{rng}]') THEN '{lang}'"
+                  for lang, rng in SCRIPT_LANGS) +
         f" WHEN regexp_matches(b.text, '[Ѐ-ӿ]') THEN {group_case['cyr']}"
         f" WHEN regexp_matches(b.text, '[ء-ۿ]') THEN {group_case['arab']}"
         f" ELSE {group_case['latin']} END AS lang_pred"

@@ -21,6 +21,12 @@ GOLDENS = [
     ("Hunden är ett djur och katten är också ett djur", "sv"),
     ("Pies jest zwierzęciem a kot też jest zwierzęciem", "pl"),
     ("Köpek bir hayvandır ve kedi de bir hayvandır", "tr"),
+    ("tämä on yksinkertainen suomenkielinen teksti säästä", "fi"),
+    ("toto je jednoduchý český text o počasí", "cs"),
+    ("ez egy egyszerű magyar szöveg az időjárásról", "hu"),
+    ("acesta este un text simplu în limba română despre vreme", "ro"),
+    ("đây là một văn bản tiếng việt đơn giản về thời tiết", "vi"),
+    ("ini adalah teks bahasa indonesia sederhana tentang cuaca", "id"),
     ("你好世界这是中文", "zh"),
     ("これは日本語のテキストです", "ja"),
     ("안녕하세요 한국어 텍스트입니다", "ko"),
@@ -33,6 +39,25 @@ GOLDENS = [
     # single-language script short-circuits
     ("Αυτό είναι ένα απλό ελληνικό κείμενο", "el"),
     ("यह मौसम के बारे में एक सरल हिंदी पाठ है", "hi"),
+    ("שלום עולם זה טקסט בעברית", "he"),
+    ("สวัสดีครับ นี่คือข้อความภาษาไทย", "th"),
+    ("გამარჯობა ეს არის ქართული ტექსტი", "ka"),
+    ("Բարև ձեզ սա հայերեն տեքստ է", "hy"),
+    ("এটি একটি বাংলা পাঠ্য", "bn"),
+    ("ਇਹ ਪੰਜਾਬੀ ਪਾਠ ਹੈ", "pa"),
+    ("આ ગુજરાતી લખાણ છે", "gu"),
+    ("ଏହା ଓଡ଼ିଆ ପାଠ୍ୟ", "or"),
+    ("இது தமிழ் உரை", "ta"),
+    ("ఇది తెలుగు వచనం", "te"),
+    ("ಇದು ಕನ್ನಡ ಪಠ್ಯ", "kn"),
+    ("ഇത് മലയാളം വാചകം", "ml"),
+    ("මෙය සිංහල පෙළකි", "si"),
+    ("ນີ້ແມ່ນຂໍ້ຄວາມພາສາລາວ", "lo"),
+    ("འདི་ནི་བོད་ཡིག་ཡིན།", "bo"),
+    ("ဤသည်မှာ မြန်မာစာဖြစ်သည်", "my"),
+    ("នេះជាអត្ថបទខ្មែរ", "km"),
+    ("ይህ የአማርኛ ጽሑፍ ነው", "am"),
+    ("މިއީ ދިވެހި ލިޔުމެކެވެ", "dv"),
 ]
 
 SHORT = [
@@ -46,6 +71,12 @@ SHORT = [
     ("tack så mycket", "sv"),
     ("dzień dobry", "pl"),
     ("merhaba nasılsın", "tr"),
+    ("hei kiitos paljon", "fi"),
+    ("dobrý den děkuji", "cs"),
+    ("jó reggelt köszönöm", "hu"),
+    ("bună ziua mulțumesc", "ro"),
+    ("xin chào cảm ơn", "vi"),
+    ("selamat pagi terima kasih", "id"),
     ("привет как дела", "ru"),
     ("добрий день друже", "uk"),
     ("благодаря много", "bg"),
@@ -136,6 +167,10 @@ def test_duckdb_twin_parity_multilingual():
         "٣٤٥ ٦٧٨",                                       # digits only
         "Αυτό είναι ελληνικό",                           # el short-circuit
         "यह हिंदी है",                                    # hi short-circuit
+        "שלום עולם",                                     # he
+        "สวัสดี",                                         # th
+        "mixed עברית and english words",                 # he routing
+        "ᏣᎳᎩ syllabary is unsupported",                  # not a known script
     ])
     df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
     con = duckdb.connect()

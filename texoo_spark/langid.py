@@ -24,9 +24,11 @@ log-probability scoring) from scratch:
 - "" (unknown) below an average-log-probability evidence floor, matching
   the reference's "unknown -> empty string" contract.
 
-Languages: en de fr es it pt nl sv pl tr (Latin group), ru uk bg
-(Cyrillic group), ar fa (Arabic-script group), + zh/ja/ko/el/hi by
-script — 19 total.
+Languages: en de fr es it pt nl sv pl tr fi cs hu ro vi id (Latin
+group), ru uk bg (Cyrillic group), ar fa (Arabic-script group),
+zh/ja/ko/el/hi by script, plus 19 further single-dominant-language
+scripts (he th ka hy bn pa gu or ta te kn ml si lo bo my km am dv) —
+45 total.
 """
 
 from __future__ import annotations
@@ -38,7 +40,11 @@ import re
 # engines must segment words identically (a broad \w would drag in
 # engine-specific unicode tables)
 _LETTERS = ("a-zàáâãäåæçèéêëìíîïñòóôõöøùúûüýÿ"
-            "āăąćčďđēėęěğıłńňőœřśşšťūůűźżž")
+            "āăąćčďđēėęěğıłńňőœřśşšťūůűźżž"
+            # Romanian comma-below + Vietnamese horn/extended vowels
+            # (the U+1EA1-1EF9 range alternates cases; lower() runs
+            # first, so the uppercase members are harmless)
+            "șțơưạ-ỹ")
 WORD_RE = r"[" + _LETTERS + r"]+"
 _WORD = re.compile(WORD_RE)
 
@@ -61,6 +67,32 @@ _DEVANAGARI = re.compile(r"[ऄ-ॿ]")
 _CYR_ANY = re.compile(r"[Ѐ-ӿ]")           # U+0400-04FF (either case)
 _ARAB_ANY = re.compile(r"[ء-ۿ]")
 
+# Additional single-dominant-language scripts (optimaize-style breadth):
+# one Unicode letter block -> one language, shared VERBATIM with the SQL
+# twin. Checked AFTER kana/hangul/han/el/hi, in this fixed order.
+SCRIPT_LANGS: list[tuple[str, str]] = [
+    ("he", "א-ת"),           # Hebrew
+    ("th", "ก-๛"),           # Thai
+    ("ka", "ა-ჿ"),           # Georgian (Mkhedruli)
+    ("hy", "Ա-ֆ"),           # Armenian
+    ("bn", "ঀ-৿"),           # Bengali
+    ("pa", "ਁ-੶"),           # Gurmukhi (Punjabi)
+    ("gu", "ઁ-૿"),           # Gujarati
+    ("or", "ଁ-୷"),           # Odia
+    ("ta", "ஂ-௺"),           # Tamil
+    ("te", "ఀ-౿"),           # Telugu
+    ("kn", "ಀ-ೲ"),           # Kannada
+    ("ml", "ഀ-ൿ"),           # Malayalam
+    ("si", "ඁ-෴"),           # Sinhala
+    ("lo", "ກ-ໟ"),           # Lao
+    ("bo", "ༀ-࿚"),           # Tibetan
+    ("my", "က-႟"),           # Myanmar
+    ("km", "ក-៹"),           # Khmer
+    ("am", "ሀ-፼"),           # Ethiopic (Amharic)
+    ("dv", "ހ-ޱ"),           # Thaana (Dhivehi)
+]
+_SCRIPT_RES = [(lang, re.compile(f"[{rng}]")) for lang, rng in SCRIPT_LANGS]
+
 # Seed corpora: deterministic, authored common prose per language
 # (everyday-register sentences; enough mass for stable trigram profiles).
 SEED_TEXT = {
@@ -81,7 +113,9 @@ SEED_TEXT = {
            " my house has many rooms and a large garden we eat dinner to"
            "gether every evening and talk about work school books music "
            "and everything that happened during the week because time go"
-           "es by so quickly when you are happy with the people you love"),
+           "es by so quickly when you are happy with the people you love"
+           " hello world this text is written in plain english we speak"
+           " and write the english language"),
     "de": ("der schnelle braune fuchs springt über den faulen hund und "
            "läuft jeden morgen durch die grünen felder bevor die sonne "
            "über den hügeln aufgeht wo die kinder mit ihren freunden "
@@ -256,6 +290,127 @@ SEED_TEXT = {
            "rla mutlu olduğunda zaman çok hızlı geçer"),
 }
 
+SEED_TEXT.update({
+    "fi": ("nopea ruskea kettu hyppää laiskan koiran yli ja juoksee joka "
+           "aamu vihreiden peltojen halki ennen kuin aurinko nousee "
+           "kukkuloiden yli missä lapset leikkivät ystäviensä kanssa ja "
+           "perheet kokoontuvat aamiaiselle kun linnut laulavat vanhoissa "
+           "puissa tämä on tarina ihmisistä jotka asuvat pienessä "
+           "kaupungissa joen lähellä ja he ovat aina tienneet että vesi "
+           "tuo elämää ja muutosta kaikille jotka jäävät pitkien "
+           "talvikuukausien aikana kun lumi peittää maan ja päivät "
+           "lyhenevät mutta yöt ovat täynnä tähtiä"
+           " hei hyvää huomenta kiitos paljon ole hyvä ja tervetuloa "
+           "ystäväni mitä kuuluu tänään voin hyvin näemme taas huomenna "
+           "yksi kaksi kolme neljä viisi kuusi seitsemän kahdeksan "
+           "yhdeksän kymmenen mikä sinun nimesi on mistä tulet haluaisin "
+           "vähän leipää ja vettä sää on tänään kylmä mutta eilen oli "
+           "lämmin talossani on monta huonetta ja suuri puutarha syömme "
+           "illallista yhdessä joka ilta ja puhumme työstä koulusta "
+           "kirjoista musiikista ja kaikesta mitä viikon aikana tapahtui "
+           "koska aika kuluu niin nopeasti kun olet onnellinen rakkaiden "
+           "ihmisten kanssa"
+           " tämä teksti on kirjoitettu suomeksi me puhumme suomea"),
+    "cs": ("rychlá hnědá liška skáče přes líného psa a běží každé ráno "
+           "přes zelená pole než slunce vyjde nad kopci kde si děti "
+           "hrají se svými přáteli a rodiny se scházejí na snídani "
+           "zatímco ptáci zpívají na starých stromech toto je příběh o "
+           "lidech kteří žijí v malém městě u řeky a vždy věděli že voda "
+           "přináší život a změnu všem kteří zůstávají během dlouhých "
+           "zimních měsíců když sníh pokrývá zemi a dny se krátí ale "
+           "noci jsou plné hvězd"
+           " ahoj dobré ráno děkuji mnohokrát prosím a vítej můj příteli "
+           "jak se máš dnes mám se dobře uvidíme se zítra znovu jedna "
+           "dva tři čtyři pět šest sedm osm devět deset jak se jmenuješ "
+           "odkud jsi chtěl bych trochu chleba a vody počasí je dnes "
+           "studené ale včera bylo teplo můj dům má mnoho pokojů a "
+           "velkou zahradu večeříme spolu každý večer a mluvíme o práci "
+           "škole knihách hudbě a o všem co se během týdne stalo protože "
+           "čas běží tak rychle když jsi šťastný s lidmi které miluješ"
+           " tento text je napsán česky mluvíme českým jazykem"),
+    "hu": ("a gyors barna róka átugrik a lusta kutya felett és minden "
+           "reggel átfut a zöld mezőkön mielőtt a nap felkel a dombok "
+           "felett ahol a gyerekek a barátaikkal játszanak és a családok "
+           "összegyűlnek reggelire miközben a madarak énekelnek az öreg "
+           "fákon ez egy történet emberekről akik egy kis városban élnek "
+           "a folyó mellett és mindig tudták hogy a víz életet és "
+           "változást hoz mindenkinek aki marad a hosszú téli hónapok "
+           "alatt amikor a hó befedi a földet és a napok rövidülnek de "
+           "az éjszakák tele vannak csillagokkal"
+           " szia jó reggelt köszönöm szépen kérem és üdvözöllek barátom "
+           "hogy vagy ma jól vagyok holnap újra találkozunk egy kettő "
+           "három négy öt hat hét nyolc kilenc tíz mi a neved honnan "
+           "jössz szeretnék egy kis kenyeret és vizet az idő ma hideg de "
+           "tegnap meleg volt a házamban sok szoba van és nagy kert "
+           "együtt vacsorázunk minden este és beszélgetünk a munkáról az "
+           "iskoláról könyvekről zenéről és mindenről ami a héten "
+           "történt mert az idő olyan gyorsan telik amikor boldog vagy "
+           "azokkal akiket szeretsz"
+           " ez a szöveg magyarul íródott magyarul beszélünk"),
+    "ro": ("vulpea maro rapidă sare peste câinele leneș și aleargă în "
+           "fiecare dimineață prin câmpurile verzi înainte ca soarele să "
+           "răsară peste dealuri unde copiii se joacă cu prietenii lor "
+           "și familiile se adună la micul dejun în timp ce păsările "
+           "cântă în copacii bătrâni aceasta este o poveste despre "
+           "oameni care trăiesc într-un oraș mic lângă râu și au știut "
+           "întotdeauna că apa aduce viață și schimbare tuturor celor "
+           "care rămân în timpul lunilor lungi de iarnă când zăpada "
+           "acoperă pământul și zilele devin scurte dar nopțile sunt "
+           "pline de stele"
+           " salut bună dimineața mulțumesc mult te rog și bine ai venit "
+           "prietene ce mai faci azi sunt bine ne vedem mâine din nou "
+           "unu doi trei patru cinci șase șapte opt nouă zece cum te "
+           "cheamă de unde vii aș vrea puțină pâine și apă vremea este "
+           "rece azi dar ieri a fost cald casa mea are multe camere și o "
+           "grădină mare cinăm împreună în fiecare seară și vorbim "
+           "despre muncă școală cărți muzică și despre tot ce s-a "
+           "întâmplat în timpul săptămânii pentru că timpul trece atât "
+           "de repede când ești fericit cu oamenii pe care îi iubești"
+           " acest text este scris în limba română vorbim românește"),
+    "vi": ("con cáo nâu nhanh nhẹn nhảy qua con chó lười biếng và chạy "
+           "mỗi buổi sáng qua những cánh đồng xanh trước khi mặt trời "
+           "mọc trên những ngọn đồi nơi trẻ em chơi với bạn bè và các "
+           "gia đình tụ họp ăn sáng trong khi chim hót trên những cây cổ "
+           "thụ đây là câu chuyện về những người sống trong một thị trấn "
+           "nhỏ gần dòng sông và họ luôn biết rằng nước mang lại sự sống "
+           "và thay đổi cho tất cả những ai ở lại trong những tháng mùa "
+           "đông dài khi tuyết phủ mặt đất và ngày ngắn lại nhưng đêm "
+           "đầy sao"
+           " xin chào chào buổi sáng cảm ơn rất nhiều làm ơn và chào "
+           "mừng bạn của tôi hôm nay bạn thế nào tôi khỏe chúng ta sẽ "
+           "gặp lại vào ngày mai một hai ba bốn năm sáu bảy tám chín "
+           "mười tên bạn là gì bạn đến từ đâu tôi muốn một ít bánh mì và "
+           "nước thời tiết hôm nay lạnh nhưng hôm qua trời ấm nhà tôi có "
+           "nhiều phòng và một khu vườn lớn chúng tôi ăn tối cùng nhau "
+           "mỗi tối và nói về công việc trường học sách âm nhạc và mọi "
+           "thứ đã xảy ra trong tuần vì thời gian trôi qua rất nhanh khi "
+           "bạn hạnh phúc với những người bạn yêu thương"
+           " văn bản này được viết bằng tiếng việt chúng tôi nói tiếng "
+           "việt"),
+    "id": ("rubah coklat yang cepat melompati anjing malas dan berlari "
+           "setiap pagi melintasi ladang hijau sebelum matahari terbit "
+           "di atas bukit tempat anak anak bermain dengan teman teman "
+           "mereka dan keluarga berkumpul untuk sarapan sementara burung "
+           "burung bernyanyi di pohon pohon tua ini adalah cerita "
+           "tentang orang orang yang tinggal di kota kecil dekat sungai "
+           "dan mereka selalu tahu bahwa air membawa kehidupan dan "
+           "perubahan bagi semua yang tinggal selama bulan bulan musim "
+           "dingin yang panjang ketika salju menutupi tanah dan hari "
+           "hari menjadi pendek tetapi malam penuh bintang"
+           " halo selamat pagi terima kasih banyak silakan dan selamat "
+           "datang temanku apa kabar hari ini saya baik baik saja kita "
+           "akan bertemu lagi besok satu dua tiga empat lima enam tujuh "
+           "delapan sembilan sepuluh siapa namamu dari mana asalmu saya "
+           "ingin sedikit roti dan air cuaca hari ini dingin tetapi "
+           "kemarin hangat rumah saya punya banyak kamar dan kebun besar "
+           "kami makan malam bersama setiap malam dan berbicara tentang "
+           "pekerjaan sekolah buku musik dan semua yang terjadi selama "
+           "minggu ini karena waktu berlalu begitu cepat ketika kamu "
+           "bahagia dengan orang orang yang kamu cintai"
+           " teks ini ditulis dalam bahasa indonesia kami berbicara "
+           "bahasa indonesia"),
+})
+
 # Cyrillic-script group: same authored template (fox story + everyday
 # greetings/numbers) so the profile mass is comparable across groups.
 SEED_TEXT_CYR = {
@@ -428,6 +583,9 @@ def _script_language(text: str) -> str:
         return "el"
     if _DEVANAGARI.search(text):
         return "hi"
+    for lang, rx in _SCRIPT_RES:
+        if rx.search(text):
+            return lang
     return ""
 
 
