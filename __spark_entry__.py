@@ -1977,8 +1977,11 @@ def _tagged_trained_oracle() -> str:
 
 def _maybe_tagged_trained_oracle() -> dict[str, str]:
     import os as _os
-    from texoo_spark.tagger import CONLL_FIXTURE
-    if not _os.path.exists(CONLL_FIXTURE):
+    from texoo_spark.tagger import conll_fixture_path
+    try:
+        if not _os.path.exists(conll_fixture_path()):
+            return {}
+    except (FileNotFoundError, OSError):
         return {}
     return {"tagged_mentions_trained": _tagged_trained_oracle()}
 
@@ -1994,7 +1997,8 @@ def _detect_language_oracle() -> str:
     matching group's fixed-order argmax, and the exact integer
     evidence-floor comparison (best < FLOOR_MILLI * n_trigrams)."""
     from texoo_spark.langid import (EVIDENCE_FLOOR_MILLI, GROUPS,
-                                    MAX_WORDS, SCRIPT_LANGS)
+                                    MAX_WORDS, SCRIPT_LANGS,
+                                    _ARAB_LETTERS)
 
     ctes: list[str] = []
     group_case: dict[str, str] = {}
@@ -2051,11 +2055,14 @@ def _detect_language_oracle() -> str:
         " WHEN regexp_matches(b.text, '[가-힣ᄀ-ᇿ]') THEN 'ko'"
         " WHEN regexp_matches(b.text, '[一-鿿]') THEN 'zh'"
         " WHEN regexp_matches(b.text, '[Ά-ώἀ-ῼ]') THEN 'el'"
-        " WHEN regexp_matches(b.text, '[ऄ-ॿ]') THEN 'hi'"
+        # letters only (shared with langid._DEVANAGARI / _ARAB_ANY):
+        # localized digits are never language evidence
+        " WHEN regexp_matches(b.text, '[ऄ-ह]') THEN 'hi'"
         + "".join(f" WHEN regexp_matches(b.text, '[{rng}]') THEN '{lang}'"
                   for lang, rng in SCRIPT_LANGS) +
         f" WHEN regexp_matches(b.text, '[Ѐ-ӿ]') THEN {group_case['cyr']}"
-        f" WHEN regexp_matches(b.text, '[ء-ۿ]') THEN {group_case['arab']}"
+        f" WHEN regexp_matches(b.text, '[{_ARAB_LETTERS}]')"
+        f" THEN {group_case['arab']}"
         f" ELSE {group_case['latin']} END AS lang_pred"
         " FROM documents b " + joins)
 

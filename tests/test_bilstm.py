@@ -167,12 +167,25 @@ def test_bundled_model_data_matches_reference_bytes():
 
 def test_bundled_weights_load_and_pin_goldens():
     """The shipped float32 weight bundle reproduces the float64
-    training result's pinned behavior: fixture span F1 1.0 and the
-    doc-0 golden mention boundaries (so shipping weights instead of
-    training in driver paths loses nothing)."""
+    training result's pinned behavior: fixture span F1 1.0 (so shipping
+    weights instead of training in driver paths loses nothing). The
+    bundle is loaded EXPLICITLY here — train_fixture_bilstm prefers an
+    exact local float64 cache when one exists, so on a warmed box the
+    default path would not exercise the bundle."""
     from texoo_spark.maxent import bundled_path
-    assert bundled_path("bilstm_fixture_5f26d66dcd754320.npz")
-    model, feat, info = train_fixture_bilstm()
-    assert info["f1"] == 1.0
+    bundle = bundled_path("bilstm_fixture_5f26d66dcd754320.npz")
+    assert bundle
+    conf = parse_annotator_xml()
+    vocab = load_trigram_vocab()
+    feat = ReferenceFeaturizer(vocab)
+    model = BiLSTMTagger(conf)
+    data = np.load(bundle)
+    for k in model.p:
+        model.p[k] = np.ascontiguousarray(data[k].astype(np.float64))
+    assert float(data["_f1"][0]) == 1.0
     docs = fixture_documents()
     assert fixture_span_f1(model, feat, docs) == 1.0
+    # and the default path (whichever source it loads) pins the same F1
+    model2, feat2, info = train_fixture_bilstm()
+    assert info["f1"] == 1.0
+    assert fixture_span_f1(model2, feat2, docs) == 1.0

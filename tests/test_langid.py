@@ -1,4 +1,4 @@
-"""T6 n-gram-profile language identification: goldens (19 languages,
+"""T6 n-gram-profile language identification: goldens (45 languages,
 short texts, unknown handling) + exact Python<->DuckDB twin parity on
 multilingual/adversarial strings the bundled ASCII test tables never
 exercise (the driver's oracle gate only sees lowercase-ASCII documents)."""
@@ -108,6 +108,20 @@ def test_mixed_script_prefers_kana_then_hangul_then_han():
     assert detect_language("日本語のテキストです") == "ja"
     assert detect_language("한국어 텍스트 中文") == "ko"
     assert detect_language("中文文本") == "zh"
+
+
+def test_localized_digits_are_not_language_evidence():
+    """Regression (round-4 review): routing and script short-circuits
+    must trigger on LETTERS only — an English doc quoting one
+    Arabic-Indic / Thai / Devanagari numeral stays English."""
+    assert detect_language(
+        "meeting at ٥ pm tomorrow evening everyone welcome") == "en"
+    assert detect_language(
+        "the price in bangkok is ๕๐ baht for the ride home"
+        " and the weather is warm today my friend") == "en"
+    assert detect_language(
+        "he scored १०० points in the game yesterday"
+        " and everyone was happy about the result") == "en"
 
 
 def test_mixed_script_group_routing():

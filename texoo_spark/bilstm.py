@@ -429,8 +429,7 @@ _FIXTURE_CACHE: dict = {}
 
 def fixture_documents(path: str | None = None):
     """Reference CoNLL2003 fixture as (sentences, bioes_tags) per doc."""
-    from texoo_spark.tagger import CONLL_FIXTURE, conll_fixture_examples
-    path = path or CONLL_FIXTURE
+    from texoo_spark.tagger import conll_fixture_examples
     docs = []
     for toks, bio2, bounds in conll_fixture_examples(path):
         sents, tags = [], []
@@ -519,11 +518,11 @@ def _disk_cache_path(conf: dict, vocab_size: int) -> str:
     (config, vocab, fixture) — cache the trained parameters on disk so
     only the first process on a machine pays the ~1 min training cost."""
     import hashlib
-    from texoo_spark.tagger import CONLL_FIXTURE
+    from texoo_spark.tagger import conll_fixture_path
     h = hashlib.sha256(json.dumps(conf, sort_keys=True).encode())
     h.update(str(vocab_size).encode())
     try:
-        with open(CONLL_FIXTURE, "rb") as f:
+        with open(conll_fixture_path(), "rb") as f:
             h.update(f.read())
     except OSError:
         pass
@@ -546,12 +545,13 @@ def train_fixture_bilstm(max_epochs: int = 300):
         cache_file = _disk_cache_path(model.conf, len(vocab))
         # pre-trained weights ship in resources/ (float32, ~27 MB
         # compressed vs 62 MB float64) so no driver/executor ever pays
-        # the ~40 s first-process training; ~/.cache keeps the float64
-        # original; training below stays as the reproducibility path
-        # (tests retrain-and-compare).
-        bundled = bundled_path(os.path.basename(cache_file))
-        src = bundled if bundled else (
-            cache_file if os.path.exists(cache_file) else None)
+        # the ~40 s first-process training. The EXACT local float64
+        # cache takes priority over the float32-rounded bundle when both
+        # exist (exactness first — the bundle is the portability
+        # fallback for fresh hosts/zip deployments); training below
+        # stays as the reproducibility path (tests retrain-and-compare).
+        src = (cache_file if os.path.exists(cache_file)
+               else bundled_path(os.path.basename(cache_file)))
         if src:
             data = np.load(src)
             for k in model.p:

@@ -63,32 +63,38 @@ _KANA = re.compile(r"[ぁ-ゟ゠-ヿ]")       # hiragana + katakana
 _HANGUL = re.compile(r"[가-힣ᄀ-ᇿ]")
 _HAN = re.compile(r"[一-鿿]")
 _GREEK = re.compile(r"[Ά-ώἀ-ῼ]")         # Greek + polytonic letters
-_DEVANAGARI = re.compile(r"[ऄ-ॿ]")
-_CYR_ANY = re.compile(r"[Ѐ-ӿ]")           # U+0400-04FF (either case)
-_ARAB_ANY = re.compile(r"[ء-ۿ]")
+# LETTERS only (U+0904-0939): Devanagari digits ०-९ are not evidence —
+# an English doc quoting one localized numeral must not short-circuit
+_DEVANAGARI = re.compile(r"[ऄ-ह]")
+_CYR_ANY = re.compile(r"[Ѐ-ӿ]")           # U+0400-04FF (letters, either case)
+# routing evidence = LETTER presence (the word class): Arabic-Indic
+# digits / punctuation U+0660-066D never hijack the group routing
+_ARAB_ANY = re.compile(r"[" + _ARAB_LETTERS + r"]")
 
 # Additional single-dominant-language scripts (optimaize-style breadth):
-# one Unicode letter block -> one language, shared VERBATIM with the SQL
-# twin. Checked AFTER kana/hangul/han/el/hi, in this fixed order.
+# one Unicode LETTER range -> one language (digit/punctuation subranges
+# deliberately excluded — localized numerals are not language evidence),
+# shared VERBATIM with the SQL twin. Checked AFTER kana/hangul/han/el/hi,
+# in this fixed order.
 SCRIPT_LANGS: list[tuple[str, str]] = [
     ("he", "א-ת"),           # Hebrew
-    ("th", "ก-๛"),           # Thai
+    ("th", "ก-ฮเ-ๅ"),        # Thai consonants + leading vowels
     ("ka", "ა-ჿ"),           # Georgian (Mkhedruli)
     ("hy", "Ա-ֆ"),           # Armenian
-    ("bn", "ঀ-৿"),           # Bengali
-    ("pa", "ਁ-੶"),           # Gurmukhi (Punjabi)
-    ("gu", "ઁ-૿"),           # Gujarati
-    ("or", "ଁ-୷"),           # Odia
-    ("ta", "ஂ-௺"),           # Tamil
-    ("te", "ఀ-౿"),           # Telugu
-    ("kn", "ಀ-ೲ"),           # Kannada
-    ("ml", "ഀ-ൿ"),           # Malayalam
-    ("si", "ඁ-෴"),           # Sinhala
-    ("lo", "ກ-ໟ"),           # Lao
-    ("bo", "ༀ-࿚"),           # Tibetan
-    ("my", "က-႟"),           # Myanmar
-    ("km", "ក-៹"),           # Khmer
-    ("am", "ሀ-፼"),           # Ethiopic (Amharic)
+    ("bn", "অ-ৠ"),           # Bengali
+    ("pa", "ਅ-ਫ਼"),           # Gurmukhi (Punjabi)
+    ("gu", "અ-ૠ"),           # Gujarati
+    ("or", "ଅ-ୠ"),           # Odia
+    ("ta", "அ-ஹ"),           # Tamil
+    ("te", "అ-ౠ"),           # Telugu
+    ("kn", "ಅ-ೠ"),           # Kannada
+    ("ml", "അ-ൠ"),           # Malayalam
+    ("si", "අ-ෆ"),           # Sinhala
+    ("lo", "ກ-ຽເ-ໄ"),        # Lao consonants + leading vowels
+    ("bo", "ཀ-ྼ"),           # Tibetan
+    ("my", "က-ဪ"),           # Myanmar
+    ("km", "ក-ឳ"),           # Khmer
+    ("am", "ሀ-ፚ"),           # Ethiopic (Amharic)
     ("dv", "ހ-ޱ"),           # Thaana (Dhivehi)
 ]
 _SCRIPT_RES = [(lang, re.compile(f"[{rng}]")) for lang, rng in SCRIPT_LANGS]

@@ -54,6 +54,9 @@ def resource_path(name: str) -> str:
     p = os.path.join(_RES_DIR, name)
     if os.path.exists(p):
         return p
+    cached = _MATERIALIZED.get(name)
+    if cached is not None and os.path.exists(cached):
+        return cached
     import hashlib
     import importlib.resources as ir
     import tempfile
@@ -66,7 +69,11 @@ def resource_path(name: str) -> str:
         with open(part, "wb") as f:
             f.write(data)
         os.replace(part, tmp)
+    _MATERIALIZED[name] = tmp   # read+hash once per process, not per call
     return tmp
+
+
+_MATERIALIZED: dict[str, str] = {}
 
 
 def bundled_path(name: str) -> str | None:

@@ -135,15 +135,20 @@ class LinearTagger:
 # Bundled byte-identical copy of the reference's CoNLL2003 test fixture
 # (texoo-entity-recognition/src/test/resources/datasets/CoNLL2003.conll,
 # public Apache-2.0 test data) — no runtime dependency on the reference
-# checkout, works from texoo_spark.zip.
-from texoo_spark.maxent import resource_path as _resource_path
+# checkout, works from texoo_spark.zip. Resolved LAZILY so importing
+# this module never does resource I/O (and cannot raise) on hosts whose
+# zip lacks the fixture.
 
-CONLL_FIXTURE = _resource_path("CoNLL2003.conll")
+
+def conll_fixture_path() -> str:
+    from texoo_spark.maxent import resource_path
+    return resource_path("CoNLL2003.conll")
 
 
-def conll_fixture_examples(path: str = CONLL_FIXTURE):
+def conll_fixture_examples(path: str | None = None):
     """[(tokens, bio2_tags, sent_bounds)] per fixture document."""
     from texoo_spark.readers import read_conll
+    path = path or conll_fixture_path()
     with open(path, encoding="utf-8") as f:
         docs = read_conll(f.readlines())
     out = []
@@ -225,7 +230,7 @@ def train_linear_tagger(examples, featurizer, n_features: int,
 _TRAINED_CACHE: dict[str, tuple] = {}
 
 
-def train_conll_tagger(path: str = CONLL_FIXTURE,
+def train_conll_tagger(path: str | None = None,
                        epochs: int = 200, lr: float = 0.5,
                        force_retrain: bool = False):
     """LinearTagger trained on the reference CoNLL fixture, plus its
@@ -243,7 +248,7 @@ def train_conll_tagger(path: str = CONLL_FIXTURE,
     if key in _TRAINED_CACHE:
         return _TRAINED_CACHE[key]
     bundled = (bundled_path("tagger_conll.npz")
-               if not force_retrain and path == CONLL_FIXTURE
+               if not force_retrain and path is None
                and (epochs, lr) == (200, 0.5) else None)
     if bundled:
         data = np.load(bundled, allow_pickle=False)
