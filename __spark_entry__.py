@@ -71,7 +71,9 @@ def _extracted_docs_lean(spark: SparkSession, sf_dir: str,
     """Lean variant for queries that never read token surfaces: no
     tok_text through Arrow (EXTRACT_LEAN_SCHEMA, no HTML gate).
     ``where`` (a Column) filters the scan BEFORE the extraction UDF so
-    subset lanes never pay full-table Python extraction."""
+    subset lanes never pay full-table Python extraction (and skip the
+    parallelism-widening repartition — a filtered subset is small by
+    construction, so the extra exchange would only add a job)."""
     from texoo_spark.extract import _extract_batch_lean
     from pyspark.sql.functions import pandas_udf
     from texoo_spark.schema import EXTRACT_LEAN_SCHEMA
@@ -81,7 +83,7 @@ def _extracted_docs_lean(spark: SparkSession, sf_dir: str,
     def lean_udf(texts: pd.Series) -> pd.DataFrame:
         return _extract_batch_lean(texts, textops.DISCARD)
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", widen=where is None)
     if where is not None:
         docs = docs.filter(where)
     return (docs.withColumn("doc", lean_udf(F.col("text")))
