@@ -99,3 +99,46 @@ def test_random_moov_body_never_crashes(data):
         m.parse_mp4(buf)
     except _OK_ERRORS:
         pass
+
+
+def _jpeg_frame():
+    """A real baseline-JPEG frame exactly as the mp4:decoded lane slices
+    it out of a Motion-JPEG container."""
+    buf = m.synth_mjpeg_mp4(91)
+    trk = m.parse_mp4(buf).tracks[0]
+    off, sz = trk.sample_offsets[0], trk.sample_sizes[0]
+    return buf[off:off + sz]
+
+
+def test_jpeg_truncations_fail_cleanly():
+    from texoo_spark.jpegcodec import decode_jpeg
+    payload = _jpeg_frame()
+    for cut in list(range(0, 64)) + list(
+            range(64, len(payload), max(1, len(payload) // 97))):
+        try:
+            decode_jpeg(payload[:cut])
+        except _OK_ERRORS:
+            pass
+
+
+def test_jpeg_bit_flips_fail_cleanly_or_decode():
+    from texoo_spark.jpegcodec import decode_jpeg
+    payload = bytearray(_jpeg_frame())
+    for byte in range(0, min(len(payload), 200), 7):
+        for bit in (0, 4, 7):
+            mut = bytearray(payload)
+            mut[byte] ^= 1 << bit
+            try:
+                decode_jpeg(bytes(mut))
+            except _OK_ERRORS:
+                pass
+
+
+@settings(max_examples=150, deadline=None, derandomize=True)
+@given(st.binary(min_size=0, max_size=300))
+def test_random_bytes_never_crash_jpeg(data):
+    from texoo_spark.jpegcodec import decode_jpeg
+    try:
+        decode_jpeg(data)
+    except _OK_ERRORS:
+        pass

@@ -325,7 +325,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan = []
             for c in range(ns):
                 cid, tda = body[1 + 2 * c:3 + 2 * c]
-                comp = next(x for x in frame[2] if x["id"] == cid)
+                # next() without a default would leak StopIteration on a
+                # corrupt scan header — inside a generator that silently
+                # ENDS iteration instead of failing the row
+                comp = next((x for x in frame[2] if x["id"] == cid), None)
+                if comp is None:
+                    raise ValueError(
+                        f"SOS references undefined component id {cid}")
                 scan.append((comp, tda >> 4, tda & 15))
             return _decode_scan(data, pos + seglen, frame, scan, qts,
                                 huff, restart_interval)
