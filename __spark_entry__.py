@@ -2253,8 +2253,12 @@ def oracle_sql() -> dict[str, str]:
             " CAST(-1 AS BIGINT) AS end_us FROM events"
             " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-            " UNION ALL SELECT 'sessions' AS lane, user_id, session_idx"
-            " AS seq, n, cents, start_us, end_us FROM s"),
+            " UNION ALL SELECT 'sessions' AS lane, user_id,"
+            # session_idx is a DuckDB window SUM() -> HUGEINT; uncast it
+            # widens the unioned seq column and renders 124.0 vs Spark's
+            # BIGINT 124 under pandas/Arrow collection (the r4 red cell).
+            " CAST(session_idx AS BIGINT) AS seq,"
+            " n, cents, start_us, end_us FROM s"),
         "dedup_prefix": (
             "SELECT array_to_string(string_split(text, ' ')[1:3], ' ')"
             " AS prefix_key, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id"

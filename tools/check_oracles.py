@@ -15,6 +15,22 @@ ONLY = sys.argv[2:] or None
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
+# DuckDB types that pandas/Arrow collection (the driver's path) widens to
+# float64 or Decimal while fetchall() returns Python ints/floats — the
+# exact class of divergence that kept running_user_totals red for two
+# rounds while this mirror said "pass". Any oracle emitting one of these
+# is a latent driver hash failure, so the mirror now refuses it outright.
+WIDENING_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def widened_columns(con, sql):
+    """(col, type) pairs of an oracle's output that DuckDB types as a
+    widening type (HUGEINT/UHUGEINT/DECIMAL). DESCRIBE plans without
+    executing, so this is cheap to run on every oracle."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [(r[0], r[1]) for r in rows
+            if any(t in r[1].upper() for t in WIDENING_TYPES)]
+
 
 def norm(v):
     if isinstance(v, float):
@@ -55,6 +71,13 @@ def main():
                 failures.append((name, "0 rows"))
             continue
         try:
+            widened = widened_columns(con, oracles[name])
+            if widened:
+                failures.append((name, f"widening oracle types {widened}"))
+                print(f"FAIL {name}: oracle emits widening type(s) "
+                      f"{widened} — the driver's pandas collection renders "
+                      f"these differently from Spark (CAST them)")
+                continue
             res = con.execute(oracles[name])
             ocols_raw = [d[0] for d in res.description]
             orows = res.fetchall()
