@@ -25,6 +25,11 @@ from pyspark.sql.window import Window
 SF001 = "/root/testdata/sf0.001"
 
 GAZETTEER_TERMS = ["spark", "table", "scan", "join", "filter"]
+# A13 bundle-lane knowledge base: alias -> (entity, prior). 'spark' is
+# ambiguous (top-1 must pick E1 by prior); 'scan'/'filter' have no entity
+# (matched but unlinked — they count in n_matches, not n_linked).
+ALIAS_TABLE = (("spark", "E1", 0.9), ("spark", "E9", 0.5),
+               ("table", "E2", 0.8), ("join", "E3", 0.7))
 GOLD_TERMS = ("spark", "table", "scan")
 PRED_TERMS = ("table", "scan", "join")
 STOPLIST = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -184,36 +189,46 @@ def q_html_main_content(spark, sf_dir):
 
 
 def q_gazetteer_matches(spark, sf_dir):
-    """A1 gazetteer matching + A14 model-bundle round trip. The primary
-    column stays the fused extract+match single Python hop over every
-    doc. For docs < 100 the SAME stage also runs as a serialized
-    annotator bundle: the gazetteer annotator (terms + case strategy in
-    params) is written with save_pipeline, reconstructed with
-    load_pipeline through the builder registry, and the LOADED pipeline
-    produces n_matches_bundle over lean-extracted docs — any drift in
-    bundle serialization breaks the oracle's equality of the two
-    columns."""
+    """A1 gazetteer matching + A14 MULTI-STAGE model-bundle round trip.
+    The primary column stays the fused extract+match single Python hop
+    over every doc. For docs < 100 a THREE-stage pipeline — extract (T1)
+    -> gazetteer (A1) -> linker (A13), all registered builder types — is
+    written with save_pipeline, reconstructed with load_pipeline through
+    the builder registry, and the LOADED pipeline runs end to end from
+    RAW text: n_matches_bundle (gazetteer stage), n_linked_bundle and
+    first_entity_bundle (linker stage, alias knowledge base serialized
+    in params). Any drift in the serialization of any stage — extraction
+    config, term list, alias table — breaks the oracle's closed-form
+    replay of all three columns."""
     import tempfile
 
-    from texoo_spark.annotator import (Pipeline, gazetteer_annotator,
-                                       load_pipeline, save_pipeline)
+    from texoo_spark.annotator import (Pipeline, extract_annotator,
+                                       gazetteer_annotator,
+                                       linker_annotator, load_pipeline,
+                                       save_pipeline)
     from texoo_spark.udfs import make_gazetteer_count_udf
     gaz = make_gazetteer_count_udf(GAZETTEER_TERMS, "CASE_SENSITIVE")
     docs = _load(spark, sf_dir, "documents")
     fused = docs.select("doc_id", gaz(F.col("text")).alias("n_matches"))
 
     p = Pipeline()
+    p.stages.append(extract_annotator("DISCARD", True))
     p.stages.append(gazetteer_annotator(list(GAZETTEER_TERMS),
                                         "CASE_SENSITIVE"))
+    p.stages.append(linker_annotator([list(a) for a in ALIAS_TABLE]))
     path = os.path.join(tempfile.mkdtemp(prefix="texoo_bundle_"),
                         "pipeline.json")
     save_pipeline(p, path)
     loaded = load_pipeline(path)
-    sub = _extracted_docs_lean(spark, sf_dir,
-                               where=F.col("doc_id") < 100)
+    sub = (_load(spark, sf_dir, "documents", widen=False)
+           .filter(F.col("doc_id") < 100).select("doc_id", "text"))
     bundle = (loaded.run(sub)
-              .select("doc_id", F.size("m_begin").cast("long")
-                      .alias("n_matches_bundle")))
+              .select("doc_id",
+                      F.size("m_begin").cast("long")
+                      .alias("n_matches_bundle"),
+                      F.col("n_linked").cast("long")
+                      .alias("n_linked_bundle"),
+                      F.col("first_entity").alias("first_entity_bundle")))
     # bundle side is <= 100 rows: broadcast so the fused lane (the full
     # scan) never shuffles
     return fused.join(F.broadcast(bundle), "doc_id", "left")
@@ -1405,34 +1420,44 @@ def q_classification_prf(spark, sf_dir):
 
 def q_max_segments(spark, sf_dir):
     """A8 MAX segmentation (applySectionsFromTargetLabels) + A12 segment
-    labeling (attachVectorsToAnnotations), one document per label group
-    via applyInPandas. Per-sentence predictions are one-hot at
-    1 + argmax(|embedding|) (index 0 reserved as the stable tie-filler so
-    the running-mean hysteresis never sticks), which makes both
-    operators' outputs exactly predictable by the SQL oracle — segment =
-    run of equal hot labels; the attached label is the run's hot index,
-    the heading its top-2 neighbours 'hot/0', confidence exactly 1.0 —
-    while the full running-mean/top-k machinery of
-    segments_from_target_labels AND the mean/normalize/cosine/argsort
-    machinery of attach_segment_labels still execute."""
+    labeling (attachVectorsToAnnotations), TWO oracled lanes:
+
+    - lane 'embhot' (one doc per embeddings label group via
+      applyInPandas): per-sentence predictions are one-hot at
+      1 + argmax(|embedding|) (index 0 reserved as the stable tie-filler
+      so the running-mean hysteresis never sticks), which makes both
+      operators' outputs exactly predictable by the SQL oracle — segment
+      = run of equal hot labels; the attached label is the run's hot
+      index, the heading its top-2 neighbours 'hot/0', confidence
+      exactly 1.0 — while the full running-mean/top-k machinery of
+      segments_from_target_labels AND the mean/normalize/cosine/argsort
+      machinery of attach_segment_labels still execute.
+    - lane 'sector' (A6's TRAINED model under VALUE verification, round
+      5): the frozen bundled SECTOR npz is broadcast, each fixture doc's
+      forward pass runs IN AN EXECUTOR (applyInPandas), the per-sentence
+      argmax labels are one-hot-ified at 1 + argmax (same index-0
+      reservation), and the identical A8+A12 machinery runs over them.
+      The oracle bakes the frozen model's per-sentence argmax labels as
+      a VALUES literal (computed once, driver-side, from the same npz —
+      the SRP-planes/profile-weights pattern) and replays the runs in
+      SQL: any drift in the distributed forward, the segmentation, or
+      the attach outputs breaks the value hash. BEMD stays rows-only in
+      bemd_segments (PCA + gaussian are genuinely non-SQL); the trained
+      model's SEGMENTATION DECISIONS are now value-pinned here."""
     import numpy as np
     from texoo_spark.segment import (attach_segment_labels,
                                      segments_from_target_labels)
     emb = _load(spark, sf_dir, "embeddings")
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id")
-        mat = np.array([np.asarray(v, dtype=np.float64)
-                        for v in pdf["embedding"]])
-        hot = np.abs(mat).argmax(axis=1) + 1
-        n_labels = mat.shape[1] + 2
+    def _onehot_rows(lane, label, hot, n_labels):
         preds = np.zeros((len(hot), n_labels))
         preds[np.arange(len(hot)), hot] = 1.0
         segs = segments_from_target_labels(preds, np.eye(n_labels))
         att = attach_segment_labels(preds, segs, np.eye(n_labels),
                                     [str(i) for i in range(n_labels)])
         return pd.DataFrame({
-            "label": pdf["label"].iloc[0],
+            "lane": lane,
+            "label": label,
             "seg_idx": range(len(att)),
             "sent_begin": [a["sent_begin"] for a in att],
             "sent_end": [a["sent_end"] for a in att],
@@ -1441,11 +1466,46 @@ def q_max_segments(spark, sf_dir):
             "confidence": [a["confidence"] for a in att],
         })
 
-    return (emb.groupBy("label")
-            .applyInPandas(run, "label int, seg_idx long,"
-                                " sent_begin long, sent_end long,"
-                                " seg_label string, heading string,"
-                                " confidence double"))
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        mat = np.array([np.asarray(v, dtype=np.float64)
+                        for v in pdf["embedding"]])
+        hot = np.abs(mat).argmax(axis=1) + 1
+        return _onehot_rows("embhot", pdf["label"].iloc[0], hot,
+                            mat.shape[1] + 2)
+
+    schema = ("lane string, label int, seg_idx long, sent_begin long,"
+              " sent_end long, seg_label string, heading string,"
+              " confidence double")
+    embhot_lane = emb.groupBy("label").applyInPandas(run, schema)
+
+    from texoo_spark.sector import (SectorModel, fixture_documents,
+                                    train_fixture_sector)
+    state_bc = spark.sparkContext.broadcast(train_fixture_sector().state())
+    sents_rows = [(d, i, s)
+                  for d, (sents, _) in enumerate(fixture_documents())
+                  for i, s in enumerate(sents)]
+    sdf = spark.createDataFrame(sents_rows, "doc int, sent_idx int,"
+                                            " sentence string")
+
+    def run_sector(pdf: pd.DataFrame) -> pd.DataFrame:
+        from texoo_spark.sentemb import sentence_embedding_batch
+        pdf = pdf.sort_values("sent_idx")
+        state = state_bc.value
+        model = SectorModel(state["Wf"].shape[1],
+                            state["Wout"].shape[1] // 2,
+                            state["Wout"].shape[0])
+        model.load_state(state)
+        X = sentence_embedding_batch(list(pdf["sentence"]), model.d_in)
+        probs = model.forward(X)[0]
+        hot = probs.argmax(axis=1) + 1
+        # labels offset by 1000 so the lane never collides with an
+        # embeddings label in a sorted compare
+        return _onehot_rows("sector", 1000 + int(pdf["doc"].iloc[0]),
+                            hot, model.K + 2)
+
+    sector_lane = sdf.groupBy("doc").applyInPandas(run_sector, schema)
+    return embhot_lane.unionByName(sector_lane)
 
 
 def q_serializer_roundtrip(spark, sf_dir):
@@ -2069,6 +2129,26 @@ def _detect_language_oracle() -> str:
         " FROM documents b " + joins)
 
 
+def _sector_hot_values() -> str:
+    """(doc, pos, hot) VALUES rows of the frozen bundled SECTOR model's
+    per-sentence argmax labels over the fixture documents (hot =
+    argmax + 1, the same index-0 reservation as the Spark lane). Computed
+    once driver-side from the deterministic npz — the same
+    baked-literal pattern as the SRP planes and langid profile weights —
+    so the oracle replays the trained model's segmentation decisions
+    without a recurrent forward in SQL."""
+    from texoo_spark.sector import fixture_documents, train_fixture_sector
+    from texoo_spark.sentemb import sentence_embedding_batch
+    model = train_fixture_sector()
+    rows = []
+    for d, (sents, _) in enumerate(fixture_documents()):
+        probs = model.forward(
+            sentence_embedding_batch(sents, model.d_in))[0]
+        rows.extend(f"({d}, {i}, {int(h)})"
+                    for i, h in enumerate(probs.argmax(axis=1) + 1))
+    return ", ".join(rows)
+
+
 def _fingerprint_oracle() -> str:
     """textquality windowed-min-FNV document fingerprint in SQL (8-word
     windows, min FNV-1a, signed 64-bit view)."""
@@ -2158,6 +2238,14 @@ _SEG_EVAL_SQL = (
 
 def oracle_sql() -> dict[str, str]:
     gaz = ", ".join(f"'{t}'" for t in GAZETTEER_TERMS)
+    # linker-stage replay: aliases resolved top-1 by (prior DESC,
+    # entity_id) — the same tie-break link_mentions applies
+    _top1 = {}
+    for a, e, pr in sorted(ALIAS_TABLE, key=lambda r: (-r[2], r[1])):
+        _top1.setdefault(a, e)
+    linked = ", ".join(f"'{a}'" for a in sorted(_top1))
+    first_entity = ("CASE lk.lw[1] " + " ".join(
+        f"WHEN '{a}' THEN '{_top1[a]}'" for a in sorted(_top1)) + " END")
     both = ", ".join(f"'{t}'" for t in GOLD_TERMS if t in PRED_TERMS)
     pred_only = ", ".join(f"'{t}'" for t in PRED_TERMS if t not in GOLD_TERMS)
     gold_only = ", ".join(f"'{t}'" for t in GOLD_TERMS if t not in PRED_TERMS)
@@ -2183,14 +2271,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text AS main_text FROM documents"
             " WHERE len(string_split(text, ' ')) >= 10"),
         "gazetteer_matches": (
-            # the bundle lane (docs < 100) must reproduce the fused
-            # count exactly — the oracle states it as the same expression
-            f"SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),"
+            # the 3-stage bundle lane (docs < 100) must reproduce the
+            # fused count exactly, plus the linker stage's outputs:
+            # n_linked counts only matches whose surface has an alias
+            # entity, first_entity maps the earliest linked match
+            # through the top-1-by-prior alias resolution
+            f"WITH lk AS (SELECT doc_id,"
+            f" list_filter(string_split(text, ' '),"
+            f" w -> w IN ({linked})) AS lw FROM documents)"
+            f" SELECT d.doc_id, CAST(len(list_filter("
+            f" string_split(d.text, ' '),"
             f" w -> w IN ({gaz}))) AS BIGINT) AS n_matches,"
-            f" CASE WHEN doc_id < 100 THEN"
-            f" CAST(len(list_filter(string_split(text, ' '),"
+            f" CASE WHEN d.doc_id < 100 THEN"
+            f" CAST(len(list_filter(string_split(d.text, ' '),"
             f" w -> w IN ({gaz}))) AS BIGINT)"
-            f" ELSE NULL END AS n_matches_bundle FROM documents"),
+            f" ELSE NULL END AS n_matches_bundle,"
+            f" CASE WHEN d.doc_id < 100 THEN CAST(len(lk.lw) AS BIGINT)"
+            f" ELSE NULL END AS n_linked_bundle,"
+            f" CASE WHEN d.doc_id < 100 THEN ({first_entity})"
+            f" ELSE NULL END AS first_entity_bundle"
+            f" FROM documents d JOIN lk ON lk.doc_id = d.doc_id"),
         "token_prf": (
             f"WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok"
             f" FROM documents),"
@@ -2757,7 +2857,9 @@ def oracle_sql() -> dict[str, str]:
             # attached label is the hot index (one-hot segment mean ->
             # cosine 1.0 with its own identity row), heading = 'hot/0'
             # (second neighbour is the first zero-sim index, stably 0),
-            # confidence exactly 1.0
+            # confidence exactly 1.0. Lane 'sector' replays the same run
+            # machinery over the frozen SECTOR model's per-sentence
+            # argmax labels (baked VALUES — see _sector_hot_values).
             "WITH h AS (SELECT label, vec_id, ROW_NUMBER() OVER ("
             " PARTITION BY label ORDER BY vec_id) - 1 AS pos,"
             " list_position("
@@ -2771,8 +2873,18 @@ def oracle_sql() -> dict[str, str]:
             " label ORDER BY pos) AS seg FROM d),"
             " segs AS (SELECT label, seg - 1 AS seg_idx,"
             " MIN(pos) AS sent_begin, MAX(pos) + 1 AS sent_end,"
-            " MIN(hot) AS hot FROM s GROUP BY label, seg)"
-            " SELECT CAST(label AS INTEGER) AS label,"
+            " MIN(hot) AS hot FROM s GROUP BY label, seg),"
+            f" sh(doc, pos, hot) AS (SELECT * FROM (VALUES"
+            f" {_sector_hot_values()})),"
+            " sd AS (SELECT doc, pos, hot, CASE WHEN LAG(hot) OVER ("
+            " PARTITION BY doc ORDER BY pos) IS DISTINCT FROM hot"
+            " THEN 1 ELSE 0 END AS brk FROM sh),"
+            " ss AS (SELECT doc, pos, hot, SUM(brk) OVER (PARTITION BY"
+            " doc ORDER BY pos) AS seg FROM sd),"
+            " ssegs AS (SELECT doc, seg - 1 AS seg_idx,"
+            " MIN(pos) AS sent_begin, MAX(pos) + 1 AS sent_end,"
+            " MIN(hot) AS hot FROM ss GROUP BY doc, seg)"
+            " SELECT 'embhot' AS lane, CAST(label AS INTEGER) AS label,"
             " CAST(seg_idx AS BIGINT) AS seg_idx,"
             " CAST(sent_begin AS BIGINT) AS sent_begin,"
             " CAST(sent_end AS BIGINT) AS sent_end,"
@@ -2780,7 +2892,15 @@ def oracle_sql() -> dict[str, str]:
             " hot || '/0' AS heading,"
             # DOUBLE, not the bare 1.0 literal: DuckDB types that DECIMAL,
             # which collects as Decimal('1.0') and renders differently
-            " CAST(1.0 AS DOUBLE) AS confidence FROM segs"),
+            " CAST(1.0 AS DOUBLE) AS confidence FROM segs"
+            " UNION ALL SELECT 'sector' AS lane,"
+            " CAST(1000 + doc AS INTEGER) AS label,"
+            " CAST(seg_idx AS BIGINT) AS seg_idx,"
+            " CAST(sent_begin AS BIGINT) AS sent_begin,"
+            " CAST(sent_end AS BIGINT) AS sent_end,"
+            " CAST(hot AS VARCHAR) AS seg_label,"
+            " hot || '/0' AS heading,"
+            " CAST(1.0 AS DOUBLE) AS confidence FROM ssegs"),
         "ivf_knn": (
             "WITH st AS (SELECT GREATEST(COUNT(*) // 8, 1) AS stride"
             " FROM embeddings),"

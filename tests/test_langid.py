@@ -1,4 +1,4 @@
-"""T6 n-gram-profile language identification: goldens (45 languages,
+"""T6 n-gram-profile language identification: goldens (55 languages,
 short texts, unknown handling) + exact Python<->DuckDB twin parity on
 multilingual/adversarial strings the bundled ASCII test tables never
 exercise (the driver's oracle gate only sees lowercase-ASCII documents)."""
@@ -27,6 +27,18 @@ GOLDENS = [
     ("acesta este un text simplu în limba română despre vreme", "ro"),
     ("đây là một văn bản tiếng việt đơn giản về thời tiết", "vi"),
     ("ini adalah teks bahasa indonesia sederhana tentang cuaca", "id"),
+    # Latin-script long tail (round 5) — incl. the close pairs da/no,
+    # sk/cs, hr/sl, ms/id, each separated by its own profile
+    ("denne tekst er skrevet på dansk om vejret og efteråret", "da"),
+    ("dette er en norsk tekst om været og høsten", "no"),
+    ("toto je jednoduchý slovenský text napísaný po slovensky", "sk"),
+    ("ovo je jednostavan hrvatski tekst o vremenu", "hr"),
+    ("to je preprosto slovensko besedilo o vremenu", "sl"),
+    ("tai paprastas lietuviškas tekstas apie orą", "lt"),
+    ("šis ir vienkāršs latviešu teksts par laikapstākļiem", "lv"),
+    ("see on lihtne eestikeelne tekst ilmast", "et"),
+    ("ini ialah teks bahasa melayu yang mudah tentang cuaca", "ms"),
+    ("ito ay simpleng tekstong tagalog tungkol sa panahon", "tl"),
     ("你好世界这是中文", "zh"),
     ("これは日本語のテキストです", "ja"),
     ("안녕하세요 한국어 텍스트입니다", "ko"),
@@ -77,6 +89,16 @@ SHORT = [
     ("bună ziua mulțumesc", "ro"),
     ("xin chào cảm ơn", "vi"),
     ("selamat pagi terima kasih", "id"),
+    ("mange tak min ven", "da"),
+    ("tusen takk min venn", "no"),
+    ("dobrý deň ďakujem pekne", "sk"),
+    ("dobro jutro hvala lijepa", "hr"),
+    ("najlepša hvala prosim", "sl"),
+    ("labas ačiū labai", "lt"),
+    ("sveiki liels paldies", "lv"),
+    ("tere suur tänu", "et"),
+    ("apa khabar kawanku", "ms"),
+    ("magandang umaga maraming salamat", "tl"),
     ("привет как дела", "ru"),
     ("добрий день друже", "uk"),
     ("благодаря много", "bg"),

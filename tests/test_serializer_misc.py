@@ -136,6 +136,46 @@ def test_pipeline_bundle_roundtrip(tmp_path):
     assert restored.provenance()["stages"] == pipe.provenance()["stages"]
 
 
+@pytest.mark.spark
+def test_multistage_bundle_roundtrip(tmp_path):
+    """A14 breadth (round 5): a THREE-stage pipeline — extract (T1) ->
+    gazetteer (A1) -> linker (A13), three distinct registered builder
+    types — survives save/load with equality on the composed output,
+    including the linker's alias knowledge base riding in params."""
+    from texoo_spark.annotator import (Pipeline, extract_annotator,
+                                       gazetteer_annotator,
+                                       linker_annotator, load_pipeline,
+                                       save_pipeline)
+    from texoo_spark.session import get_spark
+    spark = get_spark("texoo-bundle-test", master="local[2]",
+                      shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.createDataFrame(
+        [(0, "spark join table scan"), (1, "no matches here"),
+         (2, "table filter table")],
+        "doc_id long, text string")
+    pipe = Pipeline()
+    pipe.stages.append(extract_annotator("DISCARD", False))
+    pipe.stages.append(gazetteer_annotator(
+        ["spark", "table", "scan", "join", "filter"]))
+    pipe.stages.append(linker_annotator(
+        [["spark", "E1", 0.9], ["spark", "E9", 0.5],
+         ["table", "E2", 0.8], ["join", "E3", 0.7]]))
+    path = str(tmp_path / "bundle.json")
+    save_pipeline(pipe, path)
+    restored = load_pipeline(path)
+    cols = ["doc_id", "n_linked", "first_entity"]
+    a = sorted(pipe.run(df).select(*cols).collect())
+    b = sorted(restored.run(df).select(*cols).collect())
+    assert a == b
+    byid = {r.doc_id: r for r in a}
+    # doc 0: spark/join/table linked, earliest = spark -> top-1 E1
+    # (prior 0.9 beats E9's 0.5); scan matched but unlinked
+    assert byid[0].n_linked == 3 and byid[0].first_entity == "E1"
+    assert byid[1].n_linked == 0 and byid[1].first_entity is None
+    assert byid[2].n_linked == 2 and byid[2].first_entity == "E2"
+
+
 def test_save_pipeline_rejects_adhoc_stage(tmp_path):
     from texoo_spark.annotator import Annotator, Pipeline, save_pipeline
     p = Pipeline()

@@ -223,3 +223,55 @@ def gazetteer_annotator(terms: list[str],
     return Annotator("gazetteer", fn,
                      {"terms": list(terms), "case_strategy": case_strategy,
                       "label": label}, "gazetteer")
+
+
+@register_annotator("linker")
+def linker_annotator(aliases: list, top_k: int = 1) -> Annotator:
+    """A13 NamedEntityAnnotator stage, composable after the gazetteer
+    stage: each (m_begin, m_end) mention's surface is resolved through
+    the REAL link_mentions operator (normalized-alias broadcast join,
+    top-k by prior with the entity-id tie-break) and the doc grain is
+    restored with two summary columns — n_linked (mentions that resolved
+    to an entity) and first_entity (the entity of the earliest linked
+    mention). The alias table rides in params as [alias, entity_id,
+    prior] rows, so the serialized bundle is self-contained
+    (NamedEntityAnnotator's knowledge base travels with the model,
+    Annotator.writeModel semantics)."""
+    from pyspark.sql import functions as F
+
+    def fn(df: DataFrame) -> DataFrame:
+        from texoo_spark.linking import link_mentions
+        spark = df.sparkSession
+        adf = spark.createDataFrame(
+            [(str(a), str(e), float(p)) for a, e, p in aliases],
+            "alias string, entity_id string, prior double")
+        mentions = (df.select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            "extracted_text",
+            F.explode(F.arrays_zip(F.col("m_begin").alias("begin"),
+                                   F.col("m_end").alias("end"))).alias("m"))
+            .select("conv_id", "turn_idx",
+                    F.col("m.begin").alias("begin"),
+                    F.col("m.end").alias("end"),
+                    F.expr("substring(extracted_text, m.begin + 1,"
+                           " m.end - m.begin)").alias("surface")))
+        linked = (link_mentions(mentions, adf, top_k=top_k)
+                  .filter(F.col("cand_rank") == 1)
+                  .filter(F.col("entity_id").isNotNull()))
+        agg = (linked.groupBy("conv_id")
+               .agg(F.count("*").alias("_n_linked"),
+                    F.min(F.struct("begin", "entity_id"))
+                    .getField("entity_id").alias("first_entity"))
+               .select(F.col("conv_id").cast("long").alias("doc_id"),
+                       "_n_linked", "first_entity"))
+        # the linked aggregate is bounded by the mention count of the
+        # (filtered) input — broadcast it so the doc side never shuffles
+        return (df.join(F.broadcast(agg), "doc_id", "left")
+                .withColumn("n_linked",
+                            F.coalesce(F.col("_n_linked"), F.lit(0)))
+                .drop("_n_linked"))
+
+    return Annotator("linker", fn,
+                     {"aliases": [list(a) for a in aliases],
+                      "top_k": top_k}, "linker")

@@ -24,11 +24,11 @@ log-probability scoring) from scratch:
 - "" (unknown) below an average-log-probability evidence floor, matching
   the reference's "unknown -> empty string" contract.
 
-Languages: en de fr es it pt nl sv pl tr fi cs hu ro vi id (Latin
-group), ru uk bg (Cyrillic group), ar fa (Arabic-script group),
-zh/ja/ko/el/hi by script, plus 19 further single-dominant-language
-scripts (he th ka hy bn pa gu or ta te kn ml si lo bo my km am dv) —
-45 total.
+Languages: en de fr es it pt nl sv pl tr fi cs hu ro vi id da no sk
+hr sl lt lv et ms tl (Latin group), ru uk bg (Cyrillic group), ar fa
+(Arabic-script group), zh/ja/ko/el/hi by script, plus 19 further
+single-dominant-language scripts (he th ka hy bn pa gu or ta te kn
+ml si lo bo my km am dv) — 55 total.
 """
 
 from __future__ import annotations
@@ -41,6 +41,8 @@ import re
 # engine-specific unicode tables)
 _LETTERS = ("a-zàáâãäåæçèéêëìíîïñòóôõöøùúûüýÿ"
             "āăąćčďđēėęěğıłńňőœřśşšťūůűźżž"
+            # Baltic (lt į ų, lv ģ ī ķ ļ ņ) + Slovak ĺ ľ ŕ
+            "ģīįķĺļľņŕų"
             # Romanian comma-below + Vietnamese horn/extended vowels
             # (the U+1EA1-1EF9 range alternates cases; lower() runs
             # first, so the uppercase members are harmless)
@@ -415,6 +417,215 @@ SEED_TEXT.update({
            "bahagia dengan orang orang yang kamu cintai"
            " teks ini ditulis dalam bahasa indonesia kami berbicara "
            "bahasa indonesia"),
+})
+
+# Latin-script long tail (round 5): da no sk hr sl lt lv et ms tl.
+# Same authored template (fox story + everyday greetings/numbers +
+# a self-naming anchor sentence) so profile mass stays comparable.
+# Close-language pairs (da/no, sk/cs, hr/sl, ms/id) deliberately use
+# their divergent function words and orthography (da hvad/vejret vs
+# no hva/været, sk cez/ďakujem vs cs přes/děkuji, hr i/u/tijekom vs
+# sl in/v/med, ms ialah/kerana/khabar vs id adalah/karena/kabar).
+SEED_TEXT.update({
+    "da": ("den hurtige brune ræv springer over den dovne hund og løber "
+           "hver morgen gennem de grønne marker før solen står op over "
+           "bakkerne hvor børnene leger med deres venner og familierne "
+           "samles til morgenmad mens fuglene synger i de gamle træer "
+           "dette er en historie om mennesker der bor i en lille by nær "
+           "floden og de har altid vidst at vandet bringer både liv og "
+           "forandring til alle der bliver der i de lange vintermåneder "
+           "når sneen dækker jorden og dagene bliver korte men nætterne "
+           "er fulde af stjerner"
+           " hej god morgen mange tak vær så venlig og velkommen min ven "
+           "hvordan har du det i dag jeg har det godt vi ses igen i "
+           "morgen en to tre fire fem seks syv otte ni ti hvad hedder du "
+           "hvor kommer du fra jeg vil gerne have noget brød og vand "
+           "vejret er koldt i dag men i går var det varmt mit hus har "
+           "mange værelser og en stor have vi spiser aftensmad sammen "
+           "hver aften og taler om arbejde skole bøger musik og alt hvad "
+           "der er sket i løbet af ugen fordi tiden går så hurtigt når "
+           "man er glad sammen med de mennesker man elsker"
+           " denne tekst er skrevet på dansk vi taler dansk om vejret"),
+    "no": ("den raske brune reven hopper over den late hunden og løper "
+           "hver morgen gjennom de grønne markene før solen står opp "
+           "over åsene der barna leker med vennene sine og familiene "
+           "samles til frokost mens fuglene synger i de gamle trærne "
+           "dette er en fortelling om mennesker som bor i en liten by "
+           "nær elven og de har alltid visst at vannet bringer både liv "
+           "og forandring til alle som blir der i de lange "
+           "vintermånedene når snøen dekker bakken og dagene blir korte "
+           "men nettene er fulle av stjerner"
+           " hei god morgen tusen takk vær så snill og velkommen min "
+           "venn hvordan har du det i dag jeg har det bra vi sees igjen "
+           "i morgen en to tre fire fem seks sju åtte ni ti hva heter du "
+           "hvor kommer du fra jeg vil gjerne ha litt brød og vann været "
+           "er kaldt i dag men i går var det varmt huset mitt har mange "
+           "rom og en stor hage vi spiser middag sammen hver kveld og "
+           "snakker om arbeid skole bøker musikk og alt som har skjedd i "
+           "løpet av uken fordi tiden går så fort når man er glad sammen "
+           "med menneskene man er glad i"
+           " denne teksten er skrevet på norsk vi snakker norsk om været"),
+    "sk": ("rýchla hnedá líška skáče cez lenivého psa a beží každé ráno "
+           "cez zelené polia skôr než slnko vyjde nad kopcami kde sa "
+           "deti hrajú so svojimi priateľmi a rodiny sa schádzajú na "
+           "raňajky zatiaľ čo vtáky spievajú na starých stromoch toto je "
+           "príbeh o ľuďoch ktorí žijú v malom meste pri rieke a vždy "
+           "vedeli že voda prináša život aj zmenu všetkým ktorí tam "
+           "zostávajú počas dlhých zimných mesiacov keď sneh pokrýva zem "
+           "a dni sa krátia ale noci sú plné hviezd"
+           " ahoj dobré ráno ďakujem veľmi pekne prosím a vitaj môj "
+           "priateľ ako sa máš dnes mám sa dobre uvidíme sa zajtra znova "
+           "jeden dva tri štyri päť šesť sedem osem deväť desať ako sa "
+           "voláš odkiaľ si chcel by som trochu chleba a vody počasie je "
+           "dnes studené ale včera bolo teplo môj dom má veľa izieb a "
+           "veľkú záhradu večeriame spolu každý večer a rozprávame sa o "
+           "práci škole knihách hudbe a o všetkom čo sa stalo počas "
+           "týždňa pretože čas beží tak rýchlo keď si šťastný s ľuďmi "
+           "ktorých máš rád"
+           " tento text je napísaný po slovensky hovoríme po slovensky"),
+    "hr": ("brza smeđa lisica skače preko lijenog psa i trči svako jutro "
+           "preko zelenih polja prije nego što sunce izađe iznad "
+           "brežuljaka gdje se djeca igraju sa svojim prijateljima a "
+           "obitelji se okupljaju na doručku dok ptice pjevaju na starim "
+           "stablima ovo je priča o ljudima koji žive u malom gradu "
+           "blizu rijeke i uvijek su znali da voda donosi život i "
+           "promjenu svima koji ostaju tijekom dugih zimskih mjeseci "
+           "kada snijeg prekriva zemlju i dani postaju kratki ali noći "
+           "su pune zvijezda"
+           " bok dobro jutro hvala lijepa molim i dobrodošao prijatelju "
+           "kako si danas dobro sam vidimo se sutra opet jedan dva tri "
+           "četiri pet šest sedam osam devet deset kako se zoveš odakle "
+           "dolaziš želio bih malo kruha i vode vrijeme je danas hladno "
+           "ali jučer je bilo toplo moja kuća ima mnogo soba i velik vrt "
+           "večeramo zajedno svake večeri i razgovaramo o poslu školi "
+           "knjigama glazbi i svemu što se dogodilo tijekom tjedna jer "
+           "vrijeme prolazi tako brzo kada si sretan s ljudima koje "
+           "voliš"
+           " ovaj tekst je napisan na hrvatskom jeziku govorimo hrvatski"),
+    "sl": ("hitra rjava lisica skoči čez lenega psa in teče vsako jutro "
+           "čez zelena polja preden sonce vzide nad griči kjer se otroci "
+           "igrajo s svojimi prijatelji in družine se zbirajo ob zajtrku "
+           "medtem ko ptice pojejo na starih drevesih to je zgodba o "
+           "ljudeh ki živijo v majhnem mestu ob reki in vedno so vedeli "
+           "da voda prinaša življenje in spremembe vsem ki ostanejo med "
+           "dolgimi zimskimi meseci ko sneg pokrije zemljo in dnevi "
+           "postanejo kratki toda noči so polne zvezd"
+           " živjo dobro jutro najlepša hvala prosim in dobrodošel moj "
+           "prijatelj kako si danes dobro sem vidiva se spet jutri ena "
+           "dve tri štiri pet šest sedem osem devet deset kako ti je ime "
+           "od kod prihajaš rad bi malo kruha in vode vreme je danes "
+           "hladno ampak včeraj je bilo toplo moja hiša ima veliko sob "
+           "in velik vrt večerjamo skupaj vsak večer in se pogovarjamo o "
+           "delu šoli knjigah glasbi in o vsem kar se je zgodilo med "
+           "tednom ker čas teče tako hitro ko si srečen z ljudmi ki jih "
+           "imaš rad"
+           " to besedilo je napisano v slovenščini govorimo slovensko"),
+    "lt": ("greita ruda lapė šoka per tingų šunį ir bėga kiekvieną rytą "
+           "per žalius laukus prieš saulei patekant virš kalvų kur "
+           "vaikai žaidžia su savo draugais o šeimos renkasi pusryčių "
+           "kol paukščiai gieda senuose medžiuose tai istorija apie "
+           "žmones kurie gyvena mažame mieste prie upės ir jie visada "
+           "žinojo kad vanduo atneša gyvybę ir pokyčius visiems kurie "
+           "lieka per ilgus žiemos mėnesius kai sniegas padengia žemę ir "
+           "dienos trumpėja bet naktys pilnos žvaigždžių"
+           " labas laba diena ačiū labai prašau ir sveikas atvykęs mano "
+           "drauge kaip tau sekasi šiandien man sekasi gerai "
+           "pasimatysime vėl rytoj vienas du trys keturi penki šeši "
+           "septyni aštuoni devyni dešimt koks tavo vardas iš kur tu esi "
+           "norėčiau truputį duonos ir vandens oras šiandien šaltas bet "
+           "vakar buvo šilta mano namuose daug kambarių ir didelis sodas "
+           "vakarieniaujame kartu kiekvieną vakarą ir kalbame apie darbą "
+           "mokyklą knygas muziką ir viską kas nutiko per savaitę nes "
+           "laikas bėga taip greitai kai esi laimingas su žmonėmis "
+           "kuriuos myli"
+           " šis tekstas parašytas lietuvių kalba mes kalbame "
+           "lietuviškai"),
+    "lv": ("ātra brūna lapsa lec pāri slinkam sunim un skrien katru rītu "
+           "pāri zaļiem laukiem pirms saule uzlec virs pakalniem kur "
+           "bērni spēlējas ar saviem draugiem un ģimenes pulcējas "
+           "brokastīs kamēr putni dzied vecos kokos šis ir stāsts par "
+           "cilvēkiem kas dzīvo mazā pilsētā pie upes un viņi vienmēr ir "
+           "zinājuši ka ūdens nes dzīvību un pārmaiņas visiem kas paliek "
+           "garajos ziemas mēnešos kad sniegs pārklāj zemi un dienas "
+           "kļūst īsas bet naktis ir pilnas zvaigžņu"
+           " sveiki labrīt liels paldies lūdzu un laipni lūdzam mans "
+           "draugs kā tev klājas šodien man klājas labi tiksimies atkal "
+           "rīt viens divi trīs četri pieci seši septiņi astoņi deviņi "
+           "desmit kāds ir tavs vārds no kurienes tu esi es vēlētos "
+           "nedaudz maizes un ūdens laiks šodien ir auksts bet vakar "
+           "bija silts manā mājā ir daudz istabu un liels dārzs mēs "
+           "vakariņojam kopā katru vakaru un runājam par darbu skolu "
+           "grāmatām mūziku un visu kas noticis nedēļas laikā jo laiks "
+           "skrien tik ātri kad esi laimīgs ar cilvēkiem kurus mīli"
+           " šis teksts ir uzrakstīts latviešu valodā mēs runājam "
+           "latviski"),
+    "et": ("kiire pruun rebane hüppab üle laisa koera ja jookseb igal "
+           "hommikul läbi roheliste põldude enne kui päike tõuseb "
+           "küngaste kohale kus lapsed mängivad oma sõpradega ja pered "
+           "kogunevad hommikusöögile samal ajal kui linnud laulavad "
+           "vanades puudes see on lugu inimestest kes elavad väikeses "
+           "linnas jõe ääres ja nad on alati teadnud et vesi toob nii "
+           "elu kui ka muutusi kõigile kes jäävad sinna pikkade "
+           "talvekuude jooksul kui lumi katab maad ja päevad jäävad "
+           "lühikeseks aga ööd on tähti täis"
+           " tere tere hommikust suur tänu palun ja tere tulemast mu "
+           "sõber kuidas sul täna läheb mul läheb hästi näeme homme "
+           "jälle üks kaks kolm neli viis kuus seitse kaheksa üheksa "
+           "kümme mis su nimi on kust sa pärit oled ma sooviksin natuke "
+           "leiba ja vett ilm on täna külm aga eile oli soe minu majas "
+           "on palju tube ja suur aed me sööme õhtust koos igal õhtul ja "
+           "räägime tööst koolist raamatutest muusikast ja kõigest mis "
+           "nädala jooksul juhtus sest aeg läheb nii kiiresti kui oled "
+           "õnnelik inimestega keda armastad"
+           " see tekst on kirjutatud eesti keeles me räägime eesti "
+           "keelt"),
+    "ms": ("rubah perang yang pantas melompat ke atas anjing yang malas "
+           "dan berlari setiap pagi melintasi padang hijau sebelum "
+           "matahari terbit di atas bukit tempat kanak kanak bermain "
+           "dengan kawan kawan mereka dan keluarga berkumpul untuk "
+           "sarapan sementara burung burung berkicau di atas pokok "
+           "pokok tua ini ialah kisah tentang orang yang tinggal di "
+           "sebuah pekan kecil berhampiran sungai dan mereka sentiasa "
+           "tahu bahawa air membawa kehidupan dan perubahan kepada "
+           "semua yang tinggal di situ sepanjang bulan bulan musim "
+           "sejuk yang panjang apabila salji menutupi tanah dan siang "
+           "menjadi pendek tetapi malam penuh dengan bintang"
+           " helo apa khabar kawanku sila dan selamat datang hari ini "
+           "saya sihat kita akan berjumpa lagi esok satu dua tiga empat "
+           "lima enam tujuh lapan sembilan sepuluh siapakah nama awak "
+           "dari manakah awak datang saya mahu sedikit roti dan air "
+           "cuaca hari ini sejuk tetapi semalam panas rumah saya "
+           "mempunyai banyak bilik dan kebun yang besar kami makan "
+           "malam bersama sama setiap petang dan bercakap tentang kerja "
+           "sekolah buku muzik dan semua yang berlaku sepanjang minggu "
+           "ini kerana masa berlalu begitu pantas apabila awak gembira "
+           "dengan orang yang awak sayangi"
+           " teks ini ditulis dalam bahasa melayu kami bercakap bahasa "
+           "melayu"),
+    "tl": ("ang mabilis na kayumangging soro ay tumatalon sa ibabaw ng "
+           "tamad na aso at tumatakbo tuwing umaga sa luntiang parang "
+           "bago sumikat ang araw sa ibabaw ng mga burol kung saan "
+           "naglalaro ang mga bata kasama ang kanilang mga kaibigan at "
+           "nagtitipon ang mga pamilya para sa almusal habang umaawit "
+           "ang mga ibon sa matatandang puno ito ay kuwento tungkol sa "
+           "mga taong nakatira sa maliit na bayan malapit sa ilog at "
+           "lagi nilang alam na ang tubig ay nagdadala ng buhay at "
+           "pagbabago sa lahat ng nananatili doon sa mahahabang buwan "
+           "ng taglamig kapag natatakpan ng niyebe ang lupa at umiikli "
+           "ang mga araw ngunit puno ng mga bituin ang mga gabi"
+           " kumusta magandang umaga maraming salamat pakiusap at "
+           "maligayang pagdating aking kaibigan kumusta ka ngayon "
+           "mabuti naman ako magkikita tayong muli bukas isa dalawa "
+           "tatlo apat lima anim pito walo siyam sampu ano ang pangalan "
+           "mo saan ka nanggaling gusto ko ng kaunting tinapay at tubig "
+           "malamig ang panahon ngayon ngunit mainit kahapon maraming "
+           "silid ang aking bahay at malaki ang hardin sabay kaming "
+           "naghahapunan tuwing gabi at nag uusap tungkol sa trabaho "
+           "paaralan mga libro musika at lahat ng nangyari ngayong "
+           "linggo dahil mabilis lumipas ang oras kapag masaya ka "
+           "kasama ang mga taong mahal mo"
+           " ang tekstong ito ay nakasulat sa wikang tagalog "
+           "nagsasalita kami ng tagalog"),
 })
 
 # Cyrillic-script group: same authored template (fox story + everyday
