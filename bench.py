@@ -101,9 +101,12 @@ def main():
     out_path = os.path.join(SCRATCH, "extract_out")
 
     run_extraction_job(spark, input_path, out_path)       # warm-up
+    # median of 5 (was 3): the shared box's co-tenant load swings single
+    # runs by up to ~50%, and the median of 3 is itself noisy — two more
+    # runs cost ~8 s and materially tighten the headline estimate
     runs = sorted(run_extraction_job(spark, input_path, out_path)
-                  for _ in range(3))
-    dt = runs[1]                                          # median of 3
+                  for _ in range(5))
+    dt = runs[2]
     turns_per_sec = n_turns / dt
 
     from pyspark.sql import functions as F

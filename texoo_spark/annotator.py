@@ -245,6 +245,11 @@ def linker_annotator(aliases: list, top_k: int = 1) -> Annotator:
         adf = spark.createDataFrame(
             [(str(a), str(e), float(p)) for a, e, p in aliases],
             "alias string, entity_id string, prior double")
+        # the input is consumed TWICE (mention explode + join-back of the
+        # per-doc aggregate); persist so upstream stages — typically a
+        # chain of Arrow-eval extraction UDFs — run once, not once per
+        # consumer (the same rule as quality_scores' routed profile)
+        df = df.persist()
         mentions = (df.select(
             F.col("doc_id").cast("string").alias("conv_id"),
             F.lit(0).alias("turn_idx"),
