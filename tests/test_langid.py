@@ -1,4 +1,4 @@
-"""T6 n-gram-profile language identification: goldens (55 languages,
+"""T6 n-gram-profile language identification: goldens (58 languages,
 short texts, unknown handling) + exact Python<->DuckDB twin parity on
 multilingual/adversarial strings the bundled ASCII test tables never
 exercise (the driver's oracle gate only sees lowercase-ASCII documents)."""
@@ -46,6 +46,10 @@ GOLDENS = [
     ("Это простой русский текст о погоде и жизни в городе", "ru"),
     ("Це простий український текст про погоду і життя в місті", "uk"),
     ("Това е прост български текст за времето и живота в града", "bg"),
+    # round 5: sr/be/mk split out of the ru/uk/bg Cyrillic group
+    ("ово је једноставан српски текст о времену", "sr"),
+    ("гэта просты беларускі тэкст пра надворе", "be"),
+    ("ова е едноставен македонски текст за времето", "mk"),
     ("هذا نص عربي بسيط عن الطقس والحياة في المدينة", "ar"),
     ("این یک متن ساده فارسی درباره هوا و زندگی در شهر است", "fa"),
     # single-language script short-circuits
@@ -102,6 +106,9 @@ SHORT = [
     ("привет как дела", "ru"),
     ("добрий день друже", "uk"),
     ("благодаря много", "bg"),
+    ("хвала лепо пријатељу", "sr"),
+    ("вялікі дзякуй мой сябар", "be"),
+    ("многу благодарам пријателе", "mk"),
     ("شكرا جزيلا", "ar"),
     ("خیلی ممنون دوست من", "fa"),
 ]

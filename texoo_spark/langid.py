@@ -25,10 +25,10 @@ log-probability scoring) from scratch:
   the reference's "unknown -> empty string" contract.
 
 Languages: en de fr es it pt nl sv pl tr fi cs hu ro vi id da no sk
-hr sl lt lv et ms tl (Latin group), ru uk bg (Cyrillic group), ar fa
-(Arabic-script group), zh/ja/ko/el/hi by script, plus 19 further
-single-dominant-language scripts (he th ka hy bn pa gu or ta te kn
-ml si lo bo my km am dv) — 55 total.
+hr sl lt lv et ms tl (Latin group), ru sr be mk uk bg (Cyrillic
+group), ar fa (Arabic-script group), zh/ja/ko/el/hi by script, plus
+19 further single-dominant-language scripts (he th ka hy bn pa gu or
+ta te kn ml si lo bo my km am dv) — 58 total.
 """
 
 from __future__ import annotations
@@ -650,6 +650,65 @@ SEED_TEXT_CYR = {
            "случилось за неделю потому что время летит так быстро когда "
            "ты счастлив с людьми которых любишь"
            " это русский текст мы говорим и пишем на русском языке"),
+    # round 5: sr (ekavian Serbian Cyrillic), be, mk — close pairs
+    # (sr vs ru/bg, be vs uk/ru, mk vs bg) separated by their divergent
+    # function words and the letters only they use (sr ј љ њ ћ ђ џ,
+    # be ў і, mk ј ќ ѓ ѕ)
+    "sr": ("брза смеђа лисица скаче преко лењог пса и трчи свако јутро "
+           "преко зелених поља пре него што сунце изађе изнад брежуљака "
+           "где се деца играју са својим пријатељима а породице се "
+           "окупљају на доручку док птице певају на старом дрвећу ово је "
+           "прича о људима који живе у малом граду близу реке и увек су "
+           "знали да вода доноси живот и промену свима који остају током "
+           "дугих зимских месеци када снег прекрива земљу и дани постају "
+           "кратки али ноћи су пуне звезда"
+           " здраво добро јутро хвала лепо молим и добродошао пријатељу "
+           "како си данас добро сам видимо се сутра опет један два три "
+           "четири пет шест седам осам девет десет како се зовеш одакле "
+           "долазиш желео бих мало хлеба и воде време је данас хладно "
+           "али јуче је било топло моја кућа има много соба и велики врт "
+           "вечерамо заједно сваке вечери и разговарамо о послу школи "
+           "књигама музици и свему што се догодило током недеље јер "
+           "време пролази тако брзо када си срећан са људима које волиш"
+           " овај текст је написан на српском језику говоримо српски"),
+    "be": ("хуткая карычневая лісіца скача праз лянівага сабаку і "
+           "бяжыць кожную раніцу праз зялёныя палі перш чым сонца "
+           "ўзыдзе над узгоркамі дзе дзеці гуляюць са сваімі сябрамі а "
+           "сем'і збіраюцца на сняданак пакуль птушкі спяваюць на "
+           "старых дрэвах гэта гісторыя пра людзей якія жывуць у "
+           "маленькім горадзе каля ракі і яны заўсёды ведалі што вада "
+           "прыносіць жыццё і перамены ўсім хто застаецца на працягу "
+           "доўгіх зімовых месяцаў калі снег пакрывае зямлю і дні "
+           "становяцца кароткімі але ночы поўныя зорак"
+           " прывітанне добрай раніцы вялікі дзякуй калі ласка і "
+           "сардэчна запрашаем мой сябар як ты сёння у мяне ўсё добра "
+           "мы ўбачымся заўтра зноў адзін два тры чатыры пяць шэсць сем "
+           "восем дзевяць дзесяць як цябе завуць адкуль ты я хацеў бы "
+           "трохі хлеба і вады надворе сёння халоднае але ўчора было "
+           "цёпла у маім доме шмат пакояў і вялікі сад мы вячэраем "
+           "разам кожны вечар і размаўляем пра працу школу кнігі музыку "
+           "і пра ўсё што адбылося за тыдзень бо час ляціць так хутка "
+           "калі ты шчаслівы з людзьмі якіх любіш"
+           " гэта беларускі тэкст мы размаўляем па беларуску"),
+    "mk": ("брзата кафеава лисица скока преку мрзливото куче и трча "
+           "секое утро преку зелените полиња пред сонцето да изгрее над "
+           "ридовите каде децата си играат со своите пријатели а "
+           "семејствата се собираат на појадок додека птиците пеат на "
+           "старите дрвја ова е приказна за луѓе кои живеат во мал град "
+           "покрај реката и тие секогаш знаеле дека водата носи живот и "
+           "промени за сите кои остануваат во текот на долгите зимски "
+           "месеци кога снегот ја покрива земјата и дните стануваат "
+           "кратки но ноќите се полни со ѕвезди"
+           " здраво добро утро многу благодарам ве молам и добредојде "
+           "пријателе како си денес јас сум добро ќе се видиме утре "
+           "повторно еден два три четири пет шест седум осум девет "
+           "десет како се викаш од каде доаѓаш би сакал малку леб и "
+           "вода времето денес е студено но вчера беше топло мојата "
+           "куќа има многу соби и голема градина вечераме заедно секоја "
+           "вечер и зборуваме за работа училиште книги музика и сето "
+           "она што се случи во текот на неделата бидејќи времето "
+           "минува толку брзо кога си среќен со луѓето што ги сакаш"
+           " ова е македонски текст ние зборуваме македонски"),
     "uk": ("швидка коричнева лисиця стрибає через ледачого пса і біжить "
            "щоранку через зелені поля перш ніж сонце зійде над пагорбами "
            "де діти граються зі своїми друзями а родини збираються на "
