@@ -212,7 +212,10 @@ def q_gazetteer_matches(spark, sf_dir):
     fused = docs.select("doc_id", gaz(F.col("text")).alias("n_matches"))
 
     p = Pipeline()
-    p.stages.append(extract_annotator("DISCARD", True))
+    # strip_html=False: the oracle states the bundle counts over RAW
+    # text tokens, so the invariant must hold structurally — an HTML
+    # gate would make it depend on no doc<100 ever looking HTML-like
+    p.stages.append(extract_annotator("DISCARD", False))
     p.stages.append(gazetteer_annotator(list(GAZETTEER_TERMS),
                                         "CASE_SENSITIVE"))
     p.stages.append(linker_annotator([list(a) for a in ALIAS_TABLE]))
@@ -1479,7 +1482,7 @@ def q_max_segments(spark, sf_dir):
               " confidence double")
     embhot_lane = emb.groupBy("label").applyInPandas(run, schema)
 
-    from texoo_spark.sector import (SectorModel, fixture_documents,
+    from texoo_spark.sector import (fixture_documents, model_from_state,
                                     train_fixture_sector)
     state_bc = spark.sparkContext.broadcast(train_fixture_sector().state())
     sents_rows = [(d, i, s)
@@ -1491,11 +1494,7 @@ def q_max_segments(spark, sf_dir):
     def run_sector(pdf: pd.DataFrame) -> pd.DataFrame:
         from texoo_spark.sentemb import sentence_embedding_batch
         pdf = pdf.sort_values("sent_idx")
-        state = state_bc.value
-        model = SectorModel(state["Wf"].shape[1],
-                            state["Wout"].shape[1] // 2,
-                            state["Wout"].shape[0])
-        model.load_state(state)
+        model = model_from_state(state_bc.value)
         X = sentence_embedding_batch(list(pdf["sentence"]), model.d_in)
         probs = model.forward(X)[0]
         hot = probs.argmax(axis=1) + 1

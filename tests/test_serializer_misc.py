@@ -174,6 +174,16 @@ def test_multistage_bundle_roundtrip(tmp_path):
     assert byid[0].n_linked == 3 and byid[0].first_entity == "E1"
     assert byid[1].n_linked == 0 and byid[1].first_entity is None
     assert byid[2].n_linked == 2 and byid[2].first_entity == "E2"
+    # the linker's tracked persists (one per run) release on demand
+    from texoo_spark.annotator import release_annotator_caches
+    assert release_annotator_caches() >= 2
+    # non-numeric doc ids must keep working (the id is never cast)
+    df2 = spark.createDataFrame([("doc-17", "spark table")],
+                                "doc_id string, text string")
+    r2 = restored.run(df2).select("doc_id", "n_linked",
+                                  "first_entity").collect()[0]
+    assert (r2.doc_id, r2.n_linked, r2.first_entity) == ("doc-17", 2, "E1")
+    release_annotator_caches()
 
 
 def test_save_pipeline_rejects_adhoc_stage(tmp_path):

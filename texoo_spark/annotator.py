@@ -78,6 +78,28 @@ class Pipeline:
 
 ANNOTATOR_REGISTRY: dict[str, Callable[..., "Annotator"]] = {}
 
+# caches created by stages whose plan consumes an input twice (linker);
+# release with release_annotator_caches() between batches in a
+# long-running service — the same tracked-persist pattern as dedup.py
+_PERSISTED: list = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_annotator_caches() -> int:
+    """Unpersist every cache created by annotator stages in this
+    process (call after the stage outputs have been consumed). Returns
+    the number released."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        df.unpersist()
+    _PERSISTED.clear()
+    return n
+
 
 def register_annotator(type_name: str):
     def deco(builder: Callable[..., "Annotator"]):
@@ -248,10 +270,13 @@ def linker_annotator(aliases: list, top_k: int = 1) -> Annotator:
         # the input is consumed TWICE (mention explode + join-back of the
         # per-doc aggregate); persist so upstream stages — typically a
         # chain of Arrow-eval extraction UDFs — run once, not once per
-        # consumer (the same rule as quality_scores' routed profile)
-        df = df.persist()
+        # consumer (tracked: release with release_annotator_caches())
+        df = _persist_tracked(df)
+        # conv_id carries doc_id in its ORIGINAL type — a string/long
+        # round-trip would silently NULL non-numeric ids and report
+        # n_linked=0 instead of erroring
         mentions = (df.select(
-            F.col("doc_id").cast("string").alias("conv_id"),
+            F.col("doc_id").alias("conv_id"),
             F.lit(0).alias("turn_idx"),
             "extracted_text",
             F.explode(F.arrays_zip(F.col("m_begin").alias("begin"),
@@ -268,7 +293,7 @@ def linker_annotator(aliases: list, top_k: int = 1) -> Annotator:
                .agg(F.count("*").alias("_n_linked"),
                     F.min(F.struct("begin", "entity_id"))
                     .getField("entity_id").alias("first_entity"))
-               .select(F.col("conv_id").cast("long").alias("doc_id"),
+               .select(F.col("conv_id").alias("doc_id"),
                        "_n_linked", "first_entity"))
         # the linked aggregate is bounded by the mention count of the
         # (filtered) input — broadcast it so the doc side never shuffles

@@ -246,6 +246,18 @@ def train_fixture_sector(dim: int = 64, hidden: int = 24,
     return model
 
 
+def model_from_state(state: dict) -> "SectorModel":
+    """Reconstruct a SectorModel from a broadcast/deserialized state
+    dict — the single source of truth for the state->shape mapping
+    (d_in from Wf columns, hidden from Wout's fw|bw concat, K from
+    Wout rows)."""
+    model = SectorModel(state["Wf"].shape[1],
+                        state["Wout"].shape[1] // 2,
+                        state["Wout"].shape[0])
+    model.load_state(state)
+    return model
+
+
 def sector_segment_document(state: dict, sentences: list[str],
                             method: str = "bemd",
                             fixed_count: int | None = None):
@@ -266,10 +278,8 @@ def sector_segment_document(state: dict, sentences: list[str],
     from texoo_spark.segment import segment_bemd, \
         segments_from_target_labels
     from texoo_spark.sentemb import sentence_embedding_batch
-    hidden = state["Wout"].shape[1] // 2
-    model = SectorModel(state["Wf"].shape[1], hidden,
-                        state["Wout"].shape[0])
-    model.load_state(state)
+    model = model_from_state(state)
+    hidden = model.H
     X = sentence_embedding_batch(sentences, model.d_in)
     probs, fw, bw, _ = model.forward(X)
     if method == "max":
