@@ -16,6 +16,20 @@ def spark():
     s.stop()
 
 
+def test_normalize_alias_jvm_parity(spark):
+    """The JVM normalization expression must agree with the Python twin
+    on the shapes alias keys actually take: case, runs of mixed unicode
+    whitespace (incl. NBSP), leading/trailing space, diacritics."""
+    from texoo_spark.linking import normalize_alias, normalize_alias_col
+    cases = ["Paris", "  NEW   york ", "São Paulo", "a\tb\nc",
+             "", "ALL CAPS  PHRASE", "tab\t\tsqueeze", "ümlaut Straße",
+             "no\u00a0break\u00a0space"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r.n for r in
+           df.select(normalize_alias_col(F.col("s")).alias("n")).collect()]
+    assert got == [normalize_alias(c) for c in cases]
+
+
 def test_link_mentions(spark):
     from texoo_spark.linking import link_mentions, rerank_by_context
     mentions = spark.createDataFrame(

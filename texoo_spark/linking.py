@@ -25,24 +25,28 @@ def normalize_alias(alias: str) -> str:
     return " ".join((alias or "").lower().split())
 
 
+def normalize_alias_col(col: "F.Column") -> "F.Column":
+    """normalize_alias as a JVM expression (lower + unicode-whitespace
+    squeeze + trim) — the A13 hot path stays whole-stage-codegen'd with
+    no Python worker; parity with the Python twin is test-pinned
+    (tests/test_spark_ops.py::test_normalize_alias_jvm_parity)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"(?U)\s+", " "))
+
+
 def link_mentions(mentions: DataFrame, aliases: DataFrame,
                   top_k: int = 3) -> DataFrame:
     """mentions(conv_id, turn_idx, begin, end, surface) x
     aliases(alias, entity_id, prior) -> candidate links.
 
     Broadcast hash join on the normalized surface (aliases are the small
-    side by construction); keeps the top_k candidates by prior."""
-    from pyspark.sql.functions import pandas_udf
-    import pandas as pd
-    from pyspark.sql.types import StringType
-
-    @pandas_udf(StringType())
-    def norm_udf(s: pd.Series) -> pd.Series:
-        return s.map(normalize_alias)
-
-    m = mentions.withColumn("alias_key", norm_udf(F.col("surface")))
+    side by construction); keeps the top_k candidates by prior. Fully
+    JVM-side: key normalization is a Catalyst expression (a pandas UDF
+    here cost two Python-worker jobs per call for a lower+squeeze —
+    the classic UDF-for-what-SQL-already-does trap)."""
+    m = mentions.withColumn("alias_key",
+                            normalize_alias_col(F.col("surface")))
     a = (aliases
-         .withColumn("alias_key", norm_udf(F.col("alias")))
+         .withColumn("alias_key", normalize_alias_col(F.col("alias")))
          .select("alias_key", "entity_id", "prior"))
     w = Window.partitionBy("conv_id", "turn_idx", "begin", "end") \
         .orderBy(F.desc("prior"), F.col("entity_id"))
