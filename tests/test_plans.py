@@ -73,6 +73,23 @@ def test_gazetteer_matches_wholestage_codegen(spark):
     assert "*(" in plan  # '*(n)' marks whole-stage-codegen spans
 
 
+def test_link_mentions_is_jvm_only(spark):
+    """A13 linking must stay whole-stage-codegen'd: key normalization is
+    a Catalyst expression, so no Python eval node may appear anywhere in
+    the plan (round 5 — the pandas-UDF version cost two Python-worker
+    jobs per call for a lower+squeeze)."""
+    from texoo_spark.linking import link_mentions
+    mentions = spark.createDataFrame(
+        [("c", 0, 0, 5, "Paris")],
+        "conv_id string, turn_idx int, begin int, end int, surface string")
+    aliases = spark.createDataFrame([("paris", "Q90", 0.9)],
+                                    "alias string, entity_id string,"
+                                    " prior double")
+    plan = plan_of(link_mentions(mentions, aliases))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # alias side stays broadcast
+
+
 def test_bm25_broadcasts_query_side(spark):
     import __spark_entry__ as e
     plan = plan_of(e.q_bm25_topk(spark, SF))
